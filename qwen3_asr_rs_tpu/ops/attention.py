@@ -1,0 +1,85 @@
+"""Dense attention ops (XLA path).
+
+These are the reference-fidelity implementations; the Pallas kernels in
+``ops/pallas/`` are drop-in replacements for the hot paths and are verified
+against these.
+
+Design notes (TPU-first, deliberately different from the reference):
+  * activations live in (batch, seq, heads, head_dim) layout; einsum
+    contractions put the MXU on the (seq x seq) and (seq x head_dim)
+    matmuls without explicit transposes.
+  * GQA never materializes repeated K/V (the reference repeat-expands,
+    src/layers.rs:350-358); the query heads are grouped
+    (B, S, H_kv, G, D) and the contraction broadcasts over the group.
+  * masks are additive with a large-negative finite constant instead of
+    -inf so fully-masked (padding) rows stay NaN-free.
+  * softmax in float32 regardless of compute dtype.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Large negative additive-mask value. exp(x - max) underflows to exactly 0
+# for any real max, so results match a -inf mask without NaN rows.
+MASK_VALUE = -1e9
+
+
+def dense_attention(q, k, v, *, mask=None, scale: float | None = None):
+    """Multi-head (optionally grouped-query) scaled dot-product attention.
+
+    Args:
+      q: (B, Sq, Hq, D)
+      k, v: (B, Sk, Hkv, D); Hq must be a multiple of Hkv.
+      mask: optional additive mask broadcastable to (B, H, Sq, Sk), or a
+        boolean mask of the same broadcast shape (True = attend).
+      scale: defaults to 1/sqrt(D) (reference divides by sqrt(head_dim),
+        src/layers.rs:161-162, :327-328).
+
+    Returns:
+      (B, Sq, Hq, D) in q.dtype.
+    """
+    b, sq, hq, d = q.shape
+    _, sk, hkv, _ = k.shape
+    groups = hq // hkv
+    if scale is None:
+        scale = d ** -0.5
+
+    qg = q.reshape(b, sq, hkv, groups, d)
+    # scores: (B, Hkv, G, Sq, Sk)
+    scores = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+    )
+    scores = scores.astype(jnp.float32) * scale
+
+    if mask is not None:
+        if mask.dtype == jnp.bool_:
+            mask = jnp.where(mask, 0.0, MASK_VALUE).astype(jnp.float32)
+        # broadcast (., H, Sq, Sk) onto the grouped (B, Hkv, G, Sq, Sk)
+        if mask.ndim == 4 and mask.shape[1] not in (1, hkv):
+            mask = mask.reshape(mask.shape[0], hkv, groups, *mask.shape[2:])
+        elif mask.ndim == 4:
+            mask = mask[:, :, None]
+        scores = scores + mask
+
+    probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, sq, hq, d).astype(q.dtype)
+
+
+def causal_mask(seq_len: int, dtype=jnp.float32):
+    """Additive causal mask of shape (1, 1, seq, seq)."""
+    i = jnp.arange(seq_len)[:, None]
+    j = jnp.arange(seq_len)[None, :]
+    m = jnp.where(j <= i, 0.0, MASK_VALUE).astype(dtype)
+    return m[None, None]
+
+
+def length_mask(lengths, max_len: int):
+    """Boolean key-validity mask (B, 1, 1, max_len) from per-example lengths."""
+    j = jnp.arange(max_len)[None, :]
+    return (j < lengths[:, None])[:, None, None, :]
