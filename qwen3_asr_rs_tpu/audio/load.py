@@ -1,0 +1,162 @@
+"""Audio loading: any format -> mono float32 at the target sample rate.
+
+Fallback chain mirroring the reference's (src/audio.rs:7-15):
+  1. native C++ decoder+resampler (``native/audioio.cpp``) when built —
+     the analog of the reference's hound+rubato native path;
+  2. ffmpeg CLI (any container/codec) when an ffmpeg binary is on PATH —
+     the analog of the reference's libav FFI path;
+  3. pure-numpy WAV reader + polyphase sinc resampler (always available).
+"""
+
+from __future__ import annotations
+
+import logging
+import shutil
+import struct
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from .resample import resample_sinc
+
+logger = logging.getLogger(__name__)
+
+
+def load_audio(path: str | Path, target_sample_rate: int = 16000) -> np.ndarray:
+    """Load an audio file as mono f32 at ``target_sample_rate``."""
+    path = str(path)
+    errors = []
+
+    try:
+        from .native import native_available, native_load_wav
+
+        if native_available():
+            samples = native_load_wav(path, target_sample_rate)
+            logger.info(
+                "Loaded audio via native decoder: %d samples (%.2fs at %dHz)",
+                len(samples), len(samples) / target_sample_rate,
+                target_sample_rate,
+            )
+            return samples
+    except Exception as e:  # noqa: BLE001 - fall through the chain
+        errors.append(f"native: {e}")
+
+    try:
+        samples = load_audio_ffmpeg(path, target_sample_rate)
+        logger.info(
+            "Loaded audio via ffmpeg: %d samples (%.2fs at %dHz)",
+            len(samples), len(samples) / target_sample_rate, target_sample_rate,
+        )
+        return samples
+    except Exception as e:  # noqa: BLE001
+        errors.append(f"ffmpeg: {e}")
+
+    try:
+        samples = load_audio_wav(path, target_sample_rate)
+        logger.info(
+            "Loaded audio via WAV reader: %d samples (%.2fs at %dHz)",
+            len(samples), len(samples) / target_sample_rate, target_sample_rate,
+        )
+        return samples
+    except Exception as e:  # noqa: BLE001
+        errors.append(f"wav: {e}")
+
+    raise RuntimeError(
+        f"Could not decode audio file {path}; attempts: {'; '.join(errors)}"
+    )
+
+
+def load_audio_ffmpeg(path: str, target_sample_rate: int) -> np.ndarray:
+    """Decode any format via the ffmpeg CLI to raw mono f32le."""
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise FileNotFoundError("no ffmpeg binary on PATH")
+    proc = subprocess.run(
+        [
+            ffmpeg, "-v", "error", "-i", path,
+            "-f", "f32le", "-ac", "1", "-ar", str(target_sample_rate), "-",
+        ],
+        capture_output=True,
+        check=True,
+    )
+    samples = np.frombuffer(proc.stdout, dtype=np.float32)
+    if samples.size == 0:
+        raise ValueError("ffmpeg produced no samples")
+    return samples
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Minimal RIFF/WAVE reader: PCM 8/16/24/32-bit and float 32/64.
+
+    Returns (samples (n, channels) float64 in [-1, 1], sample_rate).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+
+    fmt = None
+    payload = None
+    off = 12
+    while off + 8 <= len(data):
+        chunk_id = data[off : off + 4]
+        (size,) = struct.unpack_from("<I", data, off + 4)
+        body = data[off + 8 : off + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif chunk_id == b"data":
+            payload = body
+        off += 8 + size + (size & 1)
+
+    if fmt is None or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format == 0xFFFE and len(payload) >= 0:  # WAVE_FORMAT_EXTENSIBLE
+        # subformat GUID's first two bytes carry the real format tag
+        audio_format = 1 if bits in (8, 16, 24, 32) else 3
+
+    if audio_format == 1:  # PCM
+        if bits == 8:
+            x = data_to_float(np.frombuffer(payload, np.uint8).astype(np.float64)
+                              - 128.0, 1 << 7)
+        elif bits == 16:
+            x = data_to_float(np.frombuffer(payload, "<i2"), 1 << 15)
+        elif bits == 24:
+            raw = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+            vals = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            x = data_to_float(vals, 1 << 23)
+        elif bits == 32:
+            x = data_to_float(np.frombuffer(payload, "<i4"), 1 << 31)
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(payload, "<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(payload, "<f8").astype(np.float64)
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
+    else:
+        raise ValueError(f"unsupported WAV format tag {audio_format}")
+
+    n = (len(x) // channels) * channels
+    return x[:n].reshape(-1, channels), sample_rate
+
+
+def data_to_float(x: np.ndarray, scale: int) -> np.ndarray:
+    return np.asarray(x, dtype=np.float64) / float(scale)
+
+
+def load_audio_wav(path: str, target_sample_rate: int) -> np.ndarray:
+    """WAV -> mono mixdown -> sinc resample (src/audio.rs:162-217 analog)."""
+    frames, rate = read_wav(path)
+    mono = frames.mean(axis=1)
+    if rate != target_sample_rate:
+        return resample_sinc(mono, rate, target_sample_rate)
+    return mono.astype(np.float32)

@@ -1,0 +1,93 @@
+"""ctypes binding for the native C++ audio decoder (native/audioio.cpp).
+
+The shared library is built with ``make -C native`` and searched for next
+to the repo root and in this package. All entry points degrade gracefully:
+callers fall back to the numpy path when the library is missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib = None
+_lib_checked = False
+
+
+def _find_library() -> Path | None:
+    here = Path(__file__).resolve()
+    candidates = [
+        here.parent.parent.parent / "native" / "libaudioio.so",
+        here.parent / "libaudioio.so",
+    ]
+    for c in candidates:
+        if c.exists():
+            return c
+    return None
+
+
+def _load():
+    global _lib, _lib_checked
+    with _lock:
+        if _lib_checked:
+            return _lib
+        _lib_checked = True
+        path = _find_library()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(str(path))
+        except OSError:
+            return None
+        lib.audioio_load_wav.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.audioio_load_wav.restype = ctypes.c_int64
+        lib.audioio_copy.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        lib.audioio_copy.restype = None
+        lib.audioio_error.restype = ctypes.c_char_p
+        lib.audioio_resample.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.audioio_resample.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def native_load_wav(path: str, target_rate: int) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audioio library not built")
+    n = lib.audioio_load_wav(path.encode(), target_rate)
+    if n == 0:
+        err = lib.audioio_error().decode()
+        raise RuntimeError(f"native WAV decode failed: {err}")
+    out = np.empty(n, dtype=np.float32)
+    lib.audioio_copy(out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+    return out
+
+
+def native_resample(samples: np.ndarray, from_rate: int, to_rate: int):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audioio library not built")
+    x = np.ascontiguousarray(samples, dtype=np.float64)
+    n = lib.audioio_resample(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(x), from_rate, to_rate,
+    )
+    out = np.empty(n, dtype=np.float32)
+    lib.audioio_copy(out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+    return out

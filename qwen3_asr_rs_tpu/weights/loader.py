@@ -1,0 +1,246 @@
+"""Checkpoint loading: HF safetensors -> stacked parameter pytrees.
+
+Supports both a single ``model.safetensors`` and sharded checkpoints via
+``model.safetensors.index.json`` (the reference does the same,
+src/weights.rs:10-58). Unlike the reference — which byte-decodes every
+bf16/f16 tensor to f32 on the host (src/weights.rs:134-181) — tensors keep
+their storage dtype (bf16) and are cast only to the requested compute
+dtype, so a 0.6B checkpoint stays 1.2 GB instead of 2.4 GB.
+
+HF weight names are mapped onto this framework's pytree layout:
+  * per-layer tensors are stacked along a leading layer axis (the models
+    scan over layers);
+  * linear weights are transposed from HF (out, in) to (in, out) so
+    forwards are ``x @ w`` with no runtime transpose;
+  * missing attention-projection biases become zeros (keeps the scanned
+    layer structure uniform; adding zero is exact).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AsrConfig
+
+logger = logging.getLogger(__name__)
+
+PyTree = Any
+
+ENCODER_PREFIX = "thinker.audio_tower"
+DECODER_PREFIX = "thinker.model"
+LM_HEAD_KEY = "thinker.lm_head.weight"
+
+
+def load_checkpoint(model_dir: str | Path) -> Dict[str, jnp.ndarray]:
+    """Load all tensors from single-file or sharded safetensors."""
+    from safetensors import safe_open
+
+    model_dir = Path(model_dir)
+    index_path = model_dir / "model.safetensors.index.json"
+    single_path = model_dir / "model.safetensors"
+
+    if index_path.exists():
+        with open(index_path) as f:
+            index = json.load(f)
+        shard_files = sorted(set(index["weight_map"].values()))
+        logger.info("Loading %d safetensors shards", len(shard_files))
+        files = [model_dir / s for s in shard_files]
+    elif single_path.exists():
+        files = [single_path]
+    else:
+        raise FileNotFoundError(
+            f"No model.safetensors or model.safetensors.index.json in {model_dir}"
+        )
+
+    tensors: Dict[str, jnp.ndarray] = {}
+    for path in files:
+        with safe_open(str(path), framework="flax") as f:
+            for name in f.keys():
+                tensors[name] = f.get_tensor(name)
+    logger.info("Loaded %d weight tensors", len(tensors))
+    return tensors
+
+
+def load_model_params(
+    model_dir: str | Path,
+    config: AsrConfig,
+    dtype=jnp.bfloat16,
+) -> tuple[PyTree, PyTree]:
+    """Load (encoder_params, decoder_params) from a model directory."""
+    tensors = load_checkpoint(model_dir)
+    enc = map_encoder_params(tensors, config, dtype)
+    dec = map_decoder_params(tensors, config, dtype)
+    return enc, dec
+
+
+def _get(tensors, name, dtype):
+    if name not in tensors:
+        raise KeyError(f"Missing weight: {name}")
+    return tensors[name].astype(dtype)
+
+
+def _linear_t(tensors, name, dtype):
+    """HF (out, in) -> (in, out)."""
+    return jnp.transpose(_get(tensors, f"{name}.weight", dtype))
+
+
+def _bias_or_zeros(tensors, name, out_features, dtype):
+    key = f"{name}.bias"
+    if key in tensors:
+        return tensors[key].astype(dtype)
+    return jnp.zeros((out_features,), dtype)
+
+
+def map_encoder_params(
+    tensors: Dict[str, jnp.ndarray],
+    config: AsrConfig,
+    dtype=jnp.bfloat16,
+    prefix: str = ENCODER_PREFIX,
+) -> PyTree:
+    cfg = config.audio
+    p: Dict[str, Any] = {}
+    for i in (1, 2, 3):
+        p[f"conv{i}_w"] = _get(tensors, f"{prefix}.conv2d{i}.weight", dtype)
+        p[f"conv{i}_b"] = _get(tensors, f"{prefix}.conv2d{i}.bias", dtype)
+    p["conv_out_w"] = _linear_t(tensors, f"{prefix}.conv_out", dtype)
+    p["conv_out_b"] = _bias_or_zeros(
+        tensors, f"{prefix}.conv_out", cfg.d_model, dtype
+    )
+
+    def stack_layers(fn):
+        return jnp.stack([fn(f"{prefix}.layers.{i}") for i in
+                          range(cfg.encoder_layers)])
+
+    d = cfg.d_model
+    layers = {
+        "attn_ln_w": stack_layers(
+            lambda l: _get(tensors, f"{l}.self_attn_layer_norm.weight", dtype)
+        ),
+        "attn_ln_b": stack_layers(
+            lambda l: _get(tensors, f"{l}.self_attn_layer_norm.bias", dtype)
+        ),
+        "ffn_ln_w": stack_layers(
+            lambda l: _get(tensors, f"{l}.final_layer_norm.weight", dtype)
+        ),
+        "ffn_ln_b": stack_layers(
+            lambda l: _get(tensors, f"{l}.final_layer_norm.bias", dtype)
+        ),
+        "fc1_w": stack_layers(lambda l: _linear_t(tensors, f"{l}.fc1", dtype)),
+        "fc1_b": stack_layers(
+            lambda l: _bias_or_zeros(tensors, f"{l}.fc1", cfg.encoder_ffn_dim,
+                                     dtype)
+        ),
+        "fc2_w": stack_layers(lambda l: _linear_t(tensors, f"{l}.fc2", dtype)),
+        "fc2_b": stack_layers(
+            lambda l: _bias_or_zeros(tensors, f"{l}.fc2", d, dtype)
+        ),
+    }
+    for proj, out_name in (("q", "q"), ("k", "k"), ("v", "v"), ("out", "out")):
+        layers[f"{proj}_w"] = stack_layers(
+            lambda l, pn=out_name: _linear_t(
+                tensors, f"{l}.self_attn.{pn}_proj", dtype
+            )
+        )
+        layers[f"{proj}_b"] = stack_layers(
+            lambda l, pn=out_name: _bias_or_zeros(
+                tensors, f"{l}.self_attn.{pn}_proj", d, dtype
+            )
+        )
+    p["layers"] = layers
+
+    p["ln_post_w"] = _get(tensors, f"{prefix}.ln_post.weight", dtype)
+    p["ln_post_b"] = _get(tensors, f"{prefix}.ln_post.bias", dtype)
+    p["proj1_w"] = _linear_t(tensors, f"{prefix}.proj1", dtype)
+    p["proj1_b"] = _bias_or_zeros(tensors, f"{prefix}.proj1", d, dtype)
+    p["proj2_w"] = _linear_t(tensors, f"{prefix}.proj2", dtype)
+    p["proj2_b"] = _bias_or_zeros(
+        tensors, f"{prefix}.proj2", cfg.output_dim, dtype
+    )
+    return p
+
+
+def map_decoder_params(
+    tensors: Dict[str, jnp.ndarray],
+    config: AsrConfig,
+    dtype=jnp.bfloat16,
+    prefix: str = DECODER_PREFIX,
+) -> PyTree:
+    cfg = config.text
+    embed = _get(tensors, f"{prefix}.embed_tokens.weight", dtype)
+
+    def stack_layers(fn):
+        return jnp.stack([fn(f"{prefix}.layers.{i}") for i in
+                          range(cfg.num_hidden_layers)])
+
+    nq_d = cfg.num_attention_heads * cfg.head_dim
+    nkv_d = cfg.num_key_value_heads * cfg.head_dim
+    layers = {
+        "input_ln_w": stack_layers(
+            lambda l: _get(tensors, f"{l}.input_layernorm.weight", dtype)
+        ),
+        "post_ln_w": stack_layers(
+            lambda l: _get(tensors, f"{l}.post_attention_layernorm.weight",
+                           dtype)
+        ),
+        "q_norm_w": stack_layers(
+            lambda l: _get(tensors, f"{l}.self_attn.q_norm.weight", dtype)
+        ),
+        "k_norm_w": stack_layers(
+            lambda l: _get(tensors, f"{l}.self_attn.k_norm.weight", dtype)
+        ),
+        "q_w": stack_layers(
+            lambda l: _linear_t(tensors, f"{l}.self_attn.q_proj", dtype)
+        ),
+        "k_w": stack_layers(
+            lambda l: _linear_t(tensors, f"{l}.self_attn.k_proj", dtype)
+        ),
+        "v_w": stack_layers(
+            lambda l: _linear_t(tensors, f"{l}.self_attn.v_proj", dtype)
+        ),
+        "o_w": stack_layers(
+            lambda l: _linear_t(tensors, f"{l}.self_attn.o_proj", dtype)
+        ),
+        "gate_w": stack_layers(
+            lambda l: _linear_t(tensors, f"{l}.mlp.gate_proj", dtype)
+        ),
+        "up_w": stack_layers(
+            lambda l: _linear_t(tensors, f"{l}.mlp.up_proj", dtype)
+        ),
+        "down_w": stack_layers(
+            lambda l: _linear_t(tensors, f"{l}.mlp.down_proj", dtype)
+        ),
+    }
+    # optional attention biases (absent for Qwen3; kept for generality)
+    q_bias_key = f"{prefix}.layers.0.self_attn.q_proj.bias"
+    if q_bias_key in tensors:
+        layers["q_b"] = stack_layers(
+            lambda l: _bias_or_zeros(tensors, f"{l}.self_attn.q_proj", nq_d,
+                                     dtype)
+        )
+        layers["k_b"] = stack_layers(
+            lambda l: _bias_or_zeros(tensors, f"{l}.self_attn.k_proj", nkv_d,
+                                     dtype)
+        )
+        layers["v_b"] = stack_layers(
+            lambda l: _bias_or_zeros(tensors, f"{l}.self_attn.v_proj", nkv_d,
+                                     dtype)
+        )
+
+    if cfg.tie_word_embeddings:
+        lm_head = embed
+    else:
+        # `thinker.model` -> `thinker.lm_head` (src/text_decoder.rs:71-79)
+        lm_head = _get(tensors, LM_HEAD_KEY, dtype)
+
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_ln_w": _get(tensors, f"{prefix}.norm.weight", dtype),
+        "lm_head": lm_head,
+    }

@@ -1,0 +1,105 @@
+"""Audio loading + resampling tests, incl. native/numpy cross-checks."""
+
+import numpy as np
+import pytest
+
+from qwen3_asr_rs_tpu.audio.load import load_audio, load_audio_wav, read_wav
+from qwen3_asr_rs_tpu.audio.resample import resample_sinc
+from qwen3_asr_rs_tpu.audio import native
+
+REF_SAMPLES = "/root/reference/test_audio/sample1.wav"
+
+
+def write_wav_pcm16(path, samples, rate, channels=1):
+    import struct
+
+    x = np.clip(np.asarray(samples), -1, 1)
+    pcm = (x * 32767).astype("<i2").tobytes()
+    with open(path, "wb") as f:
+        data_size = len(pcm)
+        f.write(b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE")
+        f.write(
+            b"fmt " + struct.pack(
+                "<IHHIIHH", 16, 1, channels, rate,
+                rate * channels * 2, channels * 2, 16,
+            )
+        )
+        f.write(b"data" + struct.pack("<I", data_size) + pcm)
+
+
+def test_resample_preserves_tone():
+    # 440 Hz sine at 24 kHz -> 16 kHz must stay 440 Hz, amplitude ~1
+    rate_in, rate_out = 24000, 16000
+    t = np.arange(rate_in) / rate_in
+    x = np.sin(2 * np.pi * 440 * t)
+    y = resample_sinc(x, rate_in, rate_out)
+    assert abs(len(y) - rate_out) <= 2
+    spec = np.abs(np.fft.rfft(y[1000:-1000] * np.hanning(len(y) - 2000)))
+    freqs = np.fft.rfftfreq(len(y) - 2000, 1 / rate_out)
+    peak = freqs[np.argmax(spec)]
+    assert abs(peak - 440) < 2
+    # amplitude preserved
+    assert abs(np.max(np.abs(y[1000:-1000])) - 1.0) < 0.01
+
+
+def test_resample_suppresses_alias():
+    # 9 kHz tone at 24 kHz is above the 16 kHz Nyquist -> must be removed
+    rate_in, rate_out = 24000, 16000
+    t = np.arange(rate_in) / rate_in
+    x = np.sin(2 * np.pi * 9000 * t)
+    y = resample_sinc(x, rate_in, rate_out)
+    assert np.max(np.abs(y[1000:-1000])) < 1e-3
+
+
+def test_resample_identity():
+    x = np.random.default_rng(0).standard_normal(1000)
+    y = resample_sinc(x, 16000, 16000)
+    np.testing.assert_allclose(y, x.astype(np.float32))
+
+
+@pytest.mark.skipif(not native.native_available(), reason="native lib not built")
+def test_native_matches_numpy_resample(rng):
+    x = rng.standard_normal(24000) * 0.3
+    a = resample_sinc(x, 24000, 16000)
+    b = native.native_resample(x, 24000, 16000)
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    x = (rng.standard_normal(8000) * 0.2).astype(np.float32)
+    p = tmp_path / "t.wav"
+    write_wav_pcm16(p, x, 16000)
+    y = load_audio_wav(str(p), 16000)
+    np.testing.assert_allclose(y, np.round(x * 32767) / 32767, atol=1e-4)
+
+
+def test_wav_stereo_mixdown(tmp_path):
+    t = np.arange(4000) / 16000
+    left = np.sin(2 * np.pi * 100 * t) * 0.5
+    right = np.sin(2 * np.pi * 100 * t) * 0.25
+    inter = np.stack([left, right], 1).reshape(-1)
+    p = tmp_path / "st.wav"
+    write_wav_pcm16(p, inter, 16000, channels=2)
+    y = load_audio_wav(str(p), 16000)
+    np.testing.assert_allclose(y, (left + right) / 2, atol=1e-3)
+
+
+def test_reference_sample_loads():
+    # the repo test fixtures: 24 kHz mono PCM16 -> resampled to 16 kHz
+    frames, rate = read_wav(REF_SAMPLES)
+    assert rate == 24000 and frames.shape[1] == 1
+    y = load_audio(REF_SAMPLES, 16000)
+    assert abs(len(y) / 16000 - frames.shape[0] / 24000) < 0.01
+    assert np.max(np.abs(y)) <= 1.5
+
+
+@pytest.mark.skipif(not native.native_available(), reason="native lib not built")
+def test_native_wav_load_matches_python(tmp_path, rng):
+    x = (rng.standard_normal(24000) * 0.2).astype(np.float32)
+    p = tmp_path / "n.wav"
+    write_wav_pcm16(p, x, 24000)
+    a = native.native_load_wav(str(p), 16000)
+    b = load_audio_wav(str(p), 16000)
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a, b, atol=1e-6)
