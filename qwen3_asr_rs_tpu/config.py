@@ -173,7 +173,9 @@ def tiny_test_config() -> AsrConfig:
                 encoder_attention_heads=4,
                 encoder_ffn_dim=128,
                 downsample_hidden_size=32,
-                output_dim=48,
+                # must equal text hidden_size (audio embeds are injected
+                # directly into the decoder's embedding stream)
+                output_dim=64,
             ),
             text_config=TextDecoderConfig(
                 vocab_size=1024,
