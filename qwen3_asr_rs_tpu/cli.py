@@ -1,0 +1,100 @@
+"""``asr`` command-line interface.
+
+Contract-compatible with the reference binary (src/main.rs:7-81):
+
+    asr <model_path> <audio_file> [language]
+
+prints exactly:
+
+    Language: <lang>
+    Text: <text>
+
+Logging level comes from ``ASR_LOG`` (or ``RUST_LOG`` for drop-in
+compatibility with the reference), default ``info``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from pathlib import Path
+
+USAGE = """\
+Qwen3 ASR (TPU-native) - Automatic Speech Recognition
+
+Usage: asr <model_path> <audio_file> [language]
+
+Arguments:
+  model_path   Path to the Qwen3-ASR model directory
+  audio_file   Path to the input audio file (WAV natively; any format when
+               an ffmpeg binary is on PATH)
+  language     Optional: force language (e.g., chinese, english, japanese)
+
+The audio file will be automatically converted to mono 16kHz f32 for the
+model.
+
+Environment variables:
+  ASR_LOG / RUST_LOG   Set logging level (e.g., info, debug)
+  ASR_MAX_NEW_TOKENS   Cap on generated tokens (default 4096)
+  ASR_DTYPE            Compute dtype: bfloat16 (default) or float32
+"""
+
+
+def setup_logging():
+    level_name = (
+        os.environ.get("ASR_LOG") or os.environ.get("RUST_LOG") or "info"
+    )
+    level = getattr(logging, level_name.split(",")[0].upper(), logging.INFO)
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        stream=sys.stderr,
+    )
+
+
+def main(argv=None) -> int:
+    setup_logging()
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    if len(argv) < 2:
+        print(USAGE, file=sys.stderr)
+        return 1
+
+    model_path, audio_file = argv[0], argv[1]
+    language = argv[2] if len(argv) > 2 else None
+
+    if not Path(model_path).exists():
+        print(f"Error: Model directory not found: {model_path}",
+              file=sys.stderr)
+        return 1
+    if not Path(audio_file).exists():
+        print(f"Error: Audio file not found: {audio_file}", file=sys.stderr)
+        return 1
+
+    import jax
+    import jax.numpy as jnp
+
+    from .runtime.engine import AsrEngine
+
+    logger = logging.getLogger("asr")
+    logger.info("JAX devices: %s", jax.devices())
+
+    dtype = (
+        jnp.float32
+        if os.environ.get("ASR_DTYPE", "").lower() in ("float32", "f32")
+        else jnp.bfloat16
+    )
+    max_new = int(os.environ.get("ASR_MAX_NEW_TOKENS", "4096"))
+
+    engine = AsrEngine(model_path, dtype=dtype, max_new_tokens=max_new)
+    logger.info("Transcribing: %s", audio_file)
+    result = engine.transcribe(audio_file, language)
+
+    print(f"Language: {result.language}")
+    print(f"Text: {result.text}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

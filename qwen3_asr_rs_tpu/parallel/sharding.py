@@ -1,0 +1,119 @@
+"""Parameter sharding specs (Megatron-style tensor parallelism).
+
+Decoder TP layout over the 'tp' mesh axis:
+  * q/k/v projections: output (head) dim sharded  -> column parallel
+  * o projection:      input (head) dim sharded   -> row parallel (psum)
+  * gate/up:           intermediate dim sharded   -> column parallel
+  * down:              intermediate dim sharded   -> row parallel (psum)
+  * embed / lm_head:   vocab dim sharded (logits all-gather is tiny for
+    greedy decode: argmax could even be computed shard-local + psum-max,
+    which XLA derives from the annotations)
+  * norms:             replicated
+
+The encoder is sharded the same way when its head count divides tp,
+otherwise replicated (it is ~10% of total FLOPs; 14 heads does not tile
+onto a power-of-two tp).
+
+All leaves default to replicated; only the listed leaves are annotated.
+XLA/GSPMD propagates activation shardings and inserts the collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+PyTree = Any
+
+
+def decoder_param_specs(tp_heads_ok: bool = True) -> dict:
+    """PartitionSpec pytree matching the decoder param layout."""
+    col = P(None, None, "tp") if tp_heads_ok else P()
+    row = P(None, "tp", None) if tp_heads_ok else P()
+    rep2 = P(None, None)
+    return {
+        "embed": P("tp", None),
+        "layers": {
+            "input_ln_w": rep2,
+            "post_ln_w": rep2,
+            "q_norm_w": rep2,
+            "k_norm_w": rep2,
+            "q_w": col,
+            "k_w": col,
+            "v_w": col,
+            "o_w": row,
+            "gate_w": col,
+            "up_w": col,
+            "down_w": row,
+        },
+        "final_ln_w": P(None),
+        "lm_head": P("tp", None),
+    }
+
+
+def encoder_param_specs(num_heads: int, tp_size: int) -> dict:
+    """PartitionSpec pytree for the encoder; TP only if heads tile onto tp."""
+    ok = tp_size > 0 and num_heads % tp_size == 0
+    col = P(None, None, "tp") if ok else P()
+    row = P(None, "tp", None) if ok else P()
+    rep1, rep2 = P(None), P(None, None)
+    colb = P(None, "tp") if ok else P()
+    return {
+        "conv1_w": P(), "conv1_b": P(),
+        "conv2_w": P(), "conv2_b": P(),
+        "conv3_w": P(), "conv3_b": P(),
+        "conv_out_w": rep2, "conv_out_b": rep1,
+        "layers": {
+            "attn_ln_w": rep2, "attn_ln_b": rep2,
+            "ffn_ln_w": rep2, "ffn_ln_b": rep2,
+            "q_w": col, "q_b": colb,
+            "k_w": col, "k_b": colb,
+            "v_w": col, "v_b": colb,
+            "out_w": row, "out_b": rep2,
+            "fc1_w": col, "fc1_b": colb,
+            "fc2_w": row, "fc2_b": rep2,
+        },
+        "ln_post_w": rep1, "ln_post_b": rep1,
+        "proj1_w": rep2, "proj1_b": rep1,
+        "proj2_w": rep2, "proj2_b": rep1,
+    }
+
+
+def match_specs(params: PyTree, specs: PyTree) -> PyTree:
+    """Align a spec tree to a param tree, defaulting missing keys to P()."""
+    if isinstance(params, dict):
+        return {
+            k: match_specs(
+                v, specs.get(k, P()) if isinstance(specs, dict) else P()
+            )
+            for k, v in params.items()
+        }
+    return specs if not isinstance(specs, dict) else P()
+
+
+def shard_params(params: PyTree, mesh: Mesh, specs: PyTree) -> PyTree:
+    """device_put every param leaf with its NamedSharding."""
+
+    def walk(p, s):
+        if isinstance(p, dict):
+            return {
+                k: walk(v, s.get(k, P()) if isinstance(s, dict) else P())
+                for k, v in p.items()
+            }
+        spec = s if not isinstance(s, dict) else P()
+        return jax.device_put(p, NamedSharding(mesh, spec))
+
+    return walk(params, specs)
+
+
+def named_shardings(mesh: Mesh, specs: PyTree) -> PyTree:
+    """Map a spec tree (dicts of PartitionSpec) to NamedShardings."""
+
+    def walk(s):
+        if isinstance(s, dict):
+            return {k: walk(v) for k, v in s.items()}
+        return NamedSharding(mesh, s)
+
+    return walk(specs)
