@@ -1,0 +1,198 @@
+"""Fused flash attention (Pallas/Mosaic TPU kernel).
+
+Online-softmax attention that never materializes the (Sq, Sk) score
+matrix in HBM. Supports the two mask structures the ASR models need:
+
+  * ``causal``   — decoder prefill (query i attends keys <= i)
+  * ``kv_valid`` — per-batch key-prefix validity count (encoder window
+    padding; decode slot limit)
+
+GQA is handled by mapping query head h onto kv head h // (Hq // Hkv) in
+the index maps — repeated K/V are never materialized.
+
+Grid: (batch, q_heads, q_blocks, k_blocks), with the k dimension innermost
+and the running max / denominator / accumulator carried in VMEM scratch
+across k iterations (the standard TPU flash pattern: init at k==0, write
+out at k==last). Masking uses a large-negative finite constant so padded
+rows stay NaN-free (matching ops/attention.py::MASK_VALUE semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -1e9
+INIT_M = -1e30
+
+
+def _flash_kernel(
+    # scalar prefetch
+    kv_valid_ref,  # (B,) int32 or None semantics via full Sk
+    # inputs
+    q_ref,  # (BQ, D)
+    k_ref,  # (BK, D)
+    v_ref,  # (BK, D)
+    # outputs
+    o_ref,  # (BQ, D)
+    # scratch
+    m_scr,  # (BQ, 1) f32
+    l_scr,  # (BQ, 1) f32
+    acc_scr,  # (BQ, D) f32
+    *,
+    scale: float,
+    causal: bool,
+    use_kv_valid: bool,
+    block_q: int,
+    block_k: int,
+    sq: int,
+    sk: int,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, INIT_M)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[:].astype(jnp.float32)
+    k = k_ref[:].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, BK)
+
+    col = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    # always mask key padding beyond Sk (the last k block may overhang)
+    mask_bad = col >= sk
+    if use_kv_valid:
+        mask_bad = jnp.logical_or(mask_bad, col >= kv_valid_ref[b])
+    if causal:
+        row = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        mask_bad = jnp.logical_or(mask_bad, col > row)
+    s = jnp.where(mask_bad, MASK_VALUE, s)
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+    # zero out-of-bounds V rows (the last k block may overhang Sk and its
+    # padding reads are undefined; 0 * garbage would poison the matmul)
+    krow = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_k, 1), 0
+    )
+    v_blk = jnp.where(krow < sk, v_ref[:], 0)
+    acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+        p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[:] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q,  # (B, Sq, Hq, D)
+    k,  # (B, Sk, Hkv, D)
+    v,  # (B, Sk, Hkv, D)
+    kv_valid=None,  # (B,) int32 or None
+    *,
+    causal: bool = False,
+    scale: float | None = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+):
+    batch, sq, hq, d = q.shape
+    _, sk, hkv, _ = k.shape
+    groups = hq // hkv
+    if scale is None:
+        scale = d ** -0.5
+    block_q = min(block_q, max(8, sq))
+    block_k = min(block_k, max(8, sk))
+    nq = pl.cdiv(sq, block_q)
+    nk = pl.cdiv(sk, block_k)
+
+    use_kv_valid = kv_valid is not None
+    if kv_valid is None:
+        kv_valid = jnp.full((batch,), sk, jnp.int32)
+    kv_valid = kv_valid.astype(jnp.int32)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        scale=scale,
+        causal=causal,
+        use_kv_valid=use_kv_valid,
+        block_q=block_q,
+        block_k=block_k,
+        sq=sq,
+        sk=sk,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch, hq, nq, nk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, 1, d),
+                # trailing arg: the scalar-prefetch ref
+                lambda b, h, qi, ki, *_: (b, qi, h, 0),
+            ),
+            pl.BlockSpec(
+                (1, block_k, 1, d),
+                lambda b, h, qi, ki, *_, g=groups: (b, ki, h // g, 0),
+            ),
+            pl.BlockSpec(
+                (1, block_k, 1, d),
+                lambda b, h, qi, ki, *_, g=groups: (b, ki, h // g, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, 1, d),
+            lambda b, h, qi, ki, *_: (b, qi, h, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+
+    def kernel_sq(kv_valid_ref, q_ref, k_ref, v_ref, o_ref, m, l, acc):
+        # squeeze the unit batch/head block dims
+        kernel(
+            kv_valid_ref,
+            q_ref.at[0, :, 0, :],
+            k_ref.at[0, :, 0, :],
+            v_ref.at[0, :, 0, :],
+            o_ref.at[0, :, 0, :],
+            m, l, acc,
+        )
+
+    out = pl.pallas_call(
+        kernel_sq,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, sq, hq, d), q.dtype),
+        interpret=interpret,
+    )(kv_valid, q, k, v)
+    return out

@@ -1,0 +1,73 @@
+"""Flash-attention kernel parity vs the dense XLA path (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_rs_tpu.ops.attention import dense_attention
+from qwen3_asr_rs_tpu.ops.pallas.flash_attention import flash_attention
+
+
+def _mask_from(kv_valid, causal, b, sq, sk):
+    import numpy as np
+
+    m = np.zeros((b, 1, sq, sk), np.float32)
+    j = np.arange(sk)
+    if kv_valid is not None:
+        for i in range(b):
+            m[i, 0, :, :] += np.where(j >= kv_valid[i], -1e9, 0.0)
+    if causal:
+        i_idx = np.arange(sq)[:, None]
+        m += np.where(j[None, :] > i_idx, -1e9, 0.0)[None, None]
+    return jnp.asarray(m)
+
+
+@pytest.mark.parametrize(
+    "b,sq,sk,hq,hkv,d,causal,valid",
+    [
+        (1, 128, 128, 4, 2, 128, True, None),       # GQA causal (prefill)
+        (2, 256, 256, 4, 4, 64, False, [100, 256]),  # MHA + prefix validity
+        (3, 104, 104, 2, 2, 64, False, [104, 50, 0]),  # encoder windows
+        (1, 200, 200, 8, 2, 128, True, [150]),      # causal + validity
+        (2, 64, 192, 4, 2, 64, False, None),        # cross lengths
+    ],
+)
+def test_flash_matches_dense(rng, b, sq, sk, hq, hkv, d, causal, valid):
+    q = jnp.asarray(rng.standard_normal((b, sq, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, sk, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, sk, hkv, d)), jnp.float32)
+    kv_valid = None if valid is None else jnp.asarray(valid, jnp.int32)
+
+    out = flash_attention(
+        q, k, v, kv_valid, causal=causal, interpret=True
+    )
+    ref = dense_attention(
+        q, k, v, mask=_mask_from(valid, causal, b, sq, sk)
+    )
+    got = np.asarray(out)
+    want = np.asarray(ref)
+    # rows that can attend to nothing are garbage in both paths; compare
+    # only rows with at least one live key
+    for i in range(b):
+        limit = sk if valid is None else valid[i]
+        for qi in range(sq):
+            live = min(limit, qi + 1) if causal else limit
+            if live <= 0:
+                continue
+            np.testing.assert_allclose(
+                got[i, qi], want[i, qi], atol=2e-5, rtol=1e-4,
+                err_msg=f"b={i} q={qi}",
+            )
+
+
+def test_flash_odd_block_boundaries(rng):
+    # Sq/Sk not multiples of the block size exercise edge masking
+    b, sq, sk, h, d = 1, 130, 130, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, sk, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, sk, h, d)), jnp.float32)
+    out = flash_attention(q, k, v, causal=True, interpret=True,
+                          block_q=64, block_k=64)
+    ref = dense_attention(q, k, v, mask=_mask_from(None, True, b, sq, sk))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
