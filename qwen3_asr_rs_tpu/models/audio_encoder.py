@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import AudioEncoderConfig, feat_extract_output_length
-from ..ops.attention import dense_attention
+from ..ops.attention import attention
 from ..ops.norms import layer_norm
 
 PyTree = Any
@@ -91,18 +91,6 @@ class AudioEncoder:
         for _ in range(3):
             tail_tokens = jnp.where(tail_tokens > 0, (tail_tokens - 1) // 2 + 1, 0)
         return full * tpc + tail_tokens
-
-    def token_validity(self, num_chunks: int, n_true_frames):
-        """(num_chunks, tokens_per_chunk) bool validity from the frame count."""
-        cf = self.cfg.chunk_frames
-        tpc = self.cfg.tokens_per_chunk
-        chunk_idx = jnp.arange(num_chunks)
-        frames_before = chunk_idx * cf
-        chunk_frames = jnp.clip(n_true_frames - frames_before, 0, cf)
-        tok = chunk_frames
-        for _ in range(3):
-            tok = jnp.where(tok > 0, (tok - 1) // 2 + 1, 0)
-        return jnp.arange(tpc)[None, :] < tok[:, None]
 
     # -------------------------------------------------------------- #
 
@@ -163,11 +151,18 @@ class AudioEncoder:
         win_tokens = cpw * tpc
         xw = x.reshape(num_windows, win_tokens, cfg.d_model)
 
-        valid = self.token_validity(num_windows * cpw, n_true_frames)
-        key_mask = valid.reshape(num_windows, win_tokens)[:, None, None, :]
+        # Valid tokens form a prefix of every window (full chunks first,
+        # then the partial tail chunk, then empty chunks), so per-window
+        # validity is a prefix count — the structure both the dense and
+        # the Pallas flash attention paths consume directly.
+        n_valid_total = self.valid_tokens(n_true_frames)
+        win_counts = jnp.clip(
+            n_valid_total - jnp.arange(num_windows) * win_tokens,
+            0, win_tokens,
+        ).astype(jnp.int32)
 
         def body(h, layer):
-            h = self._encoder_layer(layer, h, key_mask)
+            h = self._encoder_layer(layer, h, win_counts)
             return h, None
 
         xw, _ = jax.lax.scan(body, xw, params["layers"])
@@ -182,7 +177,7 @@ class AudioEncoder:
         flat = flat[: num_chunks * tpc]
         return flat, self.valid_tokens(n_true_frames)
 
-    def _encoder_layer(self, layer: PyTree, x, key_mask):
+    def _encoder_layer(self, layer: PyTree, x, win_counts):
         """Pre-norm bidirectional MHA + GELU FFN (src/layers.rs:202-243)."""
         cfg = self.cfg
         nh, hd = cfg.encoder_attention_heads, cfg.head_dim
@@ -193,7 +188,7 @@ class AudioEncoder:
         q = (h @ layer["q_w"] + layer["q_b"]).reshape(b, s, nh, hd)
         k = (h @ layer["k_w"] + layer["k_b"]).reshape(b, s, nh, hd)
         v = (h @ layer["v_w"] + layer["v_b"]).reshape(b, s, nh, hd)
-        attn = dense_attention(q, k, v, mask=key_mask)
+        attn = attention(q, k, v, kv_valid=win_counts)
         attn = attn.reshape(b, s, nh * hd)
         x = residual + (attn @ layer["out_w"] + layer["out_b"])
 

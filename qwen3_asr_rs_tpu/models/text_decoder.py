@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import TextDecoderConfig
-from ..ops.attention import MASK_VALUE, dense_attention
+from ..ops.attention import attention
 from ..ops.norms import rms_norm
 from ..ops.rotary import RotaryTable, apply_rotary
 
@@ -114,10 +114,14 @@ class TextDecoder:
         v_cache,
         *,
         write_pos,
-        attn_mask,
+        kv_valid,
         prefill: bool,
     ):
-        """One decoder layer. Returns (hidden, k_cache, v_cache)."""
+        """One decoder layer. Returns (hidden, k_cache, v_cache).
+
+        write_pos: scalar (shared across batch) or (B,) per-example slot
+        (batched decode — each utterance sits at a different length).
+        """
         cfg = self.cfg
         residual = x
         h = rms_norm(x, layer["input_ln_w"], cfg.rms_norm_eps)
@@ -134,17 +138,29 @@ class TextDecoder:
         k = apply_rotary(k, cos, sin)
 
         # Write the fresh K/V into the slab at write_pos.
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, write_pos, 0, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, write_pos, 0, 0)
-        )
+        if jnp.ndim(write_pos) == 0:
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, write_pos, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, write_pos, 0, 0)
+            )
+        else:
+            # per-example slot scatter (decode, S == 1)
+            b = x.shape[0]
+            k_cache = k_cache.at[jnp.arange(b), write_pos].set(
+                k[:, 0].astype(k_cache.dtype)
+            )
+            v_cache = v_cache.at[jnp.arange(b), write_pos].set(
+                v[:, 0].astype(v_cache.dtype)
+            )
 
         if prefill:
-            attn = dense_attention(q, k, v, mask=attn_mask)
+            attn = attention(q, k, v, causal=True)
         else:
-            attn = dense_attention(q, k_cache, v_cache, mask=attn_mask)
+            attn = attention(
+                q, k_cache, v_cache, kv_valid=kv_valid, impl="dense"
+            )
 
         b, s, _, _ = attn.shape
         attn = attn.reshape(b, s, cfg.num_attention_heads * cfg.head_dim)
@@ -159,12 +175,12 @@ class TextDecoder:
         return residual + h, k_cache, v_cache
 
     def _run_layers(self, params, hidden, cos, sin, cache, *, write_pos,
-                    attn_mask, prefill: bool):
+                    kv_valid, prefill: bool):
         def body(h, xs):
             layer, k_c, v_c = xs
             h, k_c, v_c = self._layer(
                 layer, h, cos, sin, k_c, v_c,
-                write_pos=write_pos, attn_mask=attn_mask, prefill=prefill,
+                write_pos=write_pos, kv_valid=kv_valid, prefill=prefill,
             )
             return h, (k_c, v_c)
 
@@ -189,7 +205,7 @@ class TextDecoder:
         hidden,  # (B, P, hidden) — embeddings with audio injection done
         position_ids,  # (P,) or (3, P)
         cache: KVCache,
-        true_len,  # scalar int32: true prompt length (<= P)
+        true_len,  # scalar or (B,) int32: true prompt length(s) (<= P)
     ):
         """Full-sequence prefill. Writes cache[0:P], returns (logits_last, cache).
 
@@ -197,38 +213,42 @@ class TextDecoder:
         causally to garbage but those query rows are discarded, and their
         cache slots are overwritten by subsequent decode steps.
         """
-        p = hidden.shape[1]
         cos, sin = self.rotary.lookup(position_ids)
-        i = jnp.arange(p)[:, None]
-        j = jnp.arange(p)[None, :]
-        mask = jnp.where(j <= i, 0.0, MASK_VALUE).astype(jnp.float32)[None, None]
         hidden, cache = self._run_layers(
             params, hidden, cos, sin, cache,
-            write_pos=jnp.int32(0), attn_mask=mask, prefill=True,
+            write_pos=jnp.int32(0), kv_valid=None, prefill=True,
         )
-        last = jax.lax.dynamic_slice_in_dim(hidden, true_len - 1, 1, axis=1)
+        if jnp.ndim(true_len) == 0:
+            last = jax.lax.dynamic_slice_in_dim(
+                hidden, true_len - 1, 1, axis=1
+            )
+        else:
+            last = jnp.take_along_axis(
+                hidden, (true_len - 1)[:, None, None], axis=1
+            )
         return self.logits(params, last)[:, 0], cache
 
     def decode_step(
         self,
         params: PyTree,
         token_ids,  # (B,) int32
-        pos,  # scalar int32: this token's position (== current length)
+        pos,  # scalar or (B,) int32: this token's position (== cur length)
         cache: KVCache,
     ):
         """Single greedy decode step. Returns (logits (B, V), cache)."""
+        b = token_ids.shape[0]
         hidden = self.embed(params, token_ids)[:, None, :]  # (B, 1, H)
-        pos_row = pos[None] if jnp.ndim(pos) == 0 else pos
-        cos, sin = self.rotary.lookup(jnp.broadcast_to(pos_row, (1,)))
-        # Slot-validity mask over the slab: slots [0, pos] are live
-        # (slot `pos` is this step's own write).
-        slot = jnp.arange(cache.max_len)[None, :]
-        mask = jnp.where(slot <= pos, 0.0, MASK_VALUE).astype(jnp.float32)[
-            None, None
-        ]
+        if jnp.ndim(pos) == 0:
+            cos, sin = self.rotary.lookup(pos[None])  # (1, D) shared
+        else:
+            c, s = self.rotary.lookup(pos)  # (B, D)
+            cos, sin = c[:, None, :], s[:, None, :]  # (B, 1, D)
+        # Slot-validity over the slab: slots [0, pos] are live (slot `pos`
+        # is this step's own write).
+        kv_valid = jnp.broadcast_to(pos, (b,)).astype(jnp.int32) + 1
         hidden, cache = self._run_layers(
             params, hidden, cos, sin, cache,
-            write_pos=pos, attn_mask=mask, prefill=False,
+            write_pos=pos, kv_valid=kv_valid, prefill=False,
         )
         return self.logits(params, hidden)[:, 0], cache
 
@@ -238,13 +258,10 @@ class TextDecoder:
         """Cache-free full forward returning all logits (training/tests)."""
         b, s, _ = hidden.shape
         cos, sin = self.rotary.lookup(position_ids)
-        i = jnp.arange(s)[:, None]
-        j = jnp.arange(s)[None, :]
-        mask = jnp.where(j <= i, 0.0, MASK_VALUE).astype(jnp.float32)[None, None]
         cache = KVCache.zeros(self.cfg, b, s, dtype=hidden.dtype)
         hidden, _ = self._run_layers(
             params, hidden, cos, sin, cache,
-            write_pos=jnp.int32(0), attn_mask=mask, prefill=True,
+            write_pos=jnp.int32(0), kv_valid=None, prefill=True,
         )
         return self.logits(params, hidden)
 

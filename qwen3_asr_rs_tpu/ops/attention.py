@@ -18,6 +18,7 @@ Design notes (TPU-first, deliberately different from the reference):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Large negative additive-mask value. exp(x - max) underflows to exactly 0
@@ -69,6 +70,60 @@ def dense_attention(q, k, v, *, mask=None, scale: float | None = None):
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, sq, hq, d).astype(q.dtype)
+
+
+def attention(
+    q,
+    k,
+    v,
+    *,
+    causal: bool = False,
+    kv_valid=None,
+    scale: float | None = None,
+    impl: str | None = None,
+):
+    """Structured-mask attention with implementation dispatch.
+
+    Args:
+      q: (B, Sq, Hq, D); k, v: (B, Sk, Hkv, D).
+      causal: query i attends keys j <= i (prefill).
+      kv_valid: optional (B,) int32 — keys with index >= kv_valid[b] are
+        masked (encoder window padding / decode slot limit).
+      impl: 'dense' | 'flash' | None (auto). Auto uses the Pallas flash
+        kernel on TPU for long sequences (where the materialized score
+        matrix would be HBM-resident) and the fused-by-XLA dense path
+        otherwise. Env var ASR_ATTN_IMPL overrides.
+
+    Both implementations produce identical numerics (tested).
+    """
+    import os
+
+    if impl is None:
+        impl = os.environ.get("ASR_ATTN_IMPL", "auto")
+    if impl == "auto":
+        b, sq = q.shape[0], q.shape[1]
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        impl = "flash" if (on_tpu and sq >= 512) else "dense"
+
+    if impl == "flash":
+        from .pallas.flash_attention import flash_attention
+
+        return flash_attention(
+            q, k, v, kv_valid, causal=causal, scale=scale,
+            interpret=jax.default_backend() not in ("tpu", "axon"),
+        )
+
+    mask = None
+    sq, sk = q.shape[1], k.shape[1]
+    if kv_valid is not None:
+        j = jnp.arange(sk)[None, None, None, :]
+        mask = jnp.where(j < kv_valid[:, None, None, None], 0.0, MASK_VALUE)
+    if causal:
+        i = jnp.arange(sq)[:, None]
+        j = jnp.arange(sk)[None, :]
+        cm = jnp.where(j <= i, 0.0, MASK_VALUE)[None, None]
+        mask = cm if mask is None else mask + cm
+    return dense_attention(q, k, v, mask=mask, scale=scale)
 
 
 def causal_mask(seq_len: int, dtype=jnp.float32):

@@ -108,7 +108,10 @@ class RotaryTable:
 
 
 def apply_rotary(x, cos, sin):
-    """Rotate ``x`` of shape (B, S, H, D) by cos/sin of shape (S, D).
+    """Rotate ``x`` of shape (B, S, H, D) by cos/sin.
+
+    cos/sin may be (S, D) (shared across batch) or (B, S, D) (per-example
+    positions, used by batched decode).
 
     Matches reference rotate_half convention (src/layers.rs:361-375):
     out = x * cos + [-x2, x1] * sin. Computed in f32, cast back to x.dtype.
@@ -119,6 +122,10 @@ def apply_rotary(x, cos, sin):
     x1 = xf[..., :half]
     x2 = xf[..., half:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
+    if cos.ndim == 2:
+        c = cos[None, :, None, :]
+        s = sin[None, :, None, :]
+    else:
+        c = cos[:, :, None, :]
+        s = sin[:, :, None, :]
     return (xf * c + rotated * s).astype(dtype)
