@@ -80,14 +80,14 @@ def main():
     token_ids = np.zeros(p_bucket, np.int32)
     token_ids[: len(prompt)] = prompt
 
-    graph = engine._graph(num_chunks)
+    graph = engine._graph(num_chunks, 1)
     args = (
         engine.enc_params,
         engine.dec_params,
-        jnp.asarray(wave),
-        jnp.int32(n_true),
-        jnp.asarray(token_ids),
-        jnp.int32(len(prompt)),
+        jnp.asarray(wave)[None],
+        jnp.asarray([n_true], jnp.int32),
+        jnp.asarray(token_ids)[None],
+        jnp.asarray([len(prompt)], jnp.int32),
     )
 
     # warmup / compile

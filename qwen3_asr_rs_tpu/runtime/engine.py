@@ -132,15 +132,13 @@ class AsrEngine:
         return self.chunk_buckets[-1] * cf * 160 / 16000
 
     # ------------------------------------------------------------------ #
-    # the fused per-bucket graph
+    # the fused per-bucket graph (batched; single utterance is B == 1)
 
-    def _graph(self, num_chunks: int):
-        key = num_chunks
+    def _graph(self, num_chunks: int, batch: int):
+        key = (num_chunks, batch)
         if key not in self._graphs:
             self._graphs[key] = jax.jit(
-                functools.partial(self._transcribe_graph, num_chunks),
-                static_argnums=(),
-                donate_argnums=(),
+                functools.partial(self._transcribe_graph, num_chunks)
             )
         return self._graphs[key]
 
@@ -149,67 +147,81 @@ class AsrEngine:
         num_chunks: int,  # static (bound via partial)
         enc_params,
         dec_params,
-        wave,            # (num_chunks*chunk_frames*160 + 400,) f32
-        n_true_frames,   # scalar int32
-        token_ids,       # (P,) int32, zero-padded past true_len
-        true_len,        # scalar int32
+        wave,            # (B, num_chunks*chunk_frames*160 + 400) f32
+        n_true_frames,   # (B,) int32
+        token_ids,       # (B, P) int32, zero-padded past true_len
+        true_len,        # (B,) int32
     ):
         cfg = self.config
-        mel = log_mel_from_padded(
-            wave, n_true_frames, self.frontend.mel_filters,
-            self.frontend.window,
-        )
-        audio_embeds, n_audio = self.encoder(enc_params, mel, n_true_frames)
+        b = wave.shape[0]
+
+        mel = jax.vmap(
+            lambda w, n: log_mel_from_padded(
+                w, n, self.frontend.mel_filters, self.frontend.window
+            )
+        )(wave, n_true_frames)  # (B, mels, F)
+        audio_embeds, n_audio = jax.vmap(
+            self.encoder, in_axes=(None, 0, 0)
+        )(enc_params, mel, n_true_frames)  # (B, C*tpc, H), (B,)
 
         # --- prompt embedding with audio injection (src/inference.rs:110-124
         # does this with a host loop of slice_scatters; here it's one select)
-        p = token_ids.shape[0]
-        tok_embeds = self.decoder.embed(dec_params, token_ids)  # (P, H)
+        p = token_ids.shape[1]
+        tok_embeds = self.decoder.embed(dec_params, token_ids)  # (B, P, H)
         hidden_dim = tok_embeds.shape[-1]
         # audio embedding for prompt position i lives at audio_embeds[i - 9]
-        shifted = jnp.zeros((p, hidden_dim), tok_embeds.dtype)
-        n_copy = min(audio_embeds.shape[0], p - AUDIO_OFFSET)
+        shifted = jnp.zeros((b, p, hidden_dim), tok_embeds.dtype)
+        n_copy = min(audio_embeds.shape[1], p - AUDIO_OFFSET)
         shifted = jax.lax.dynamic_update_slice(
             shifted,
-            audio_embeds[:n_copy].astype(tok_embeds.dtype),
-            (AUDIO_OFFSET, 0),
+            audio_embeds[:, :n_copy].astype(tok_embeds.dtype),
+            (0, AUDIO_OFFSET, 0),
         )
         pos = jnp.arange(p)
-        is_audio = (pos >= AUDIO_OFFSET) & (pos < AUDIO_OFFSET + n_audio)
-        hidden = jnp.where(is_audio[:, None], shifted, tok_embeds)[None]
+        is_audio = (pos[None, :] >= AUDIO_OFFSET) & (
+            pos[None, :] < AUDIO_OFFSET + n_audio[:, None]
+        )
+        hidden = jnp.where(is_audio[..., None], shifted, tok_embeds)
 
         # --- prefill
         s_max = p + self.max_new_tokens + 1
-        cache = KVCache.zeros(cfg.text, 1, s_max, dtype=self.dtype)
+        cache = KVCache.zeros(cfg.text, b, s_max, dtype=self.dtype)
         logits, cache = self.decoder.prefill(
             dec_params, hidden, pos, cache, true_len
-        )
+        )  # (B, V)
 
-        # --- greedy decode loop, fully on device
+        # --- greedy decode loop, fully on device, per-example EOS
         max_new = self.max_new_tokens
-        out_buf = jnp.zeros((max_new,), jnp.int32)
+        out_buf = jnp.zeros((b, max_new), jnp.int32)
+        barange = jnp.arange(b)
 
         def cond(state):
-            _, _, n_gen, done, _ = state
-            return jnp.logical_and(~done, n_gen < max_new)
+            _, _, _, done, _, step = state
+            return jnp.logical_and(jnp.any(~done), step < max_new)
 
         def body(state):
-            cache, logits, n_gen, done, out_buf = state
-            tok = jnp.argmax(logits[0]).astype(jnp.int32)
+            cache, logits, n_gen, done, out_buf, step = state
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
             is_eos = jnp.logical_or(
                 tok == ENDOFTEXT_TOKEN_ID, tok == IM_END_TOKEN_ID
             )
-            out_buf = jnp.where(
-                is_eos, out_buf, out_buf.at[n_gen].set(tok)
+            newly_done = jnp.logical_or(done, is_eos)
+            keep = out_buf[barange, n_gen]
+            out_buf = out_buf.at[barange, n_gen].set(
+                jnp.where(newly_done, keep, tok)
             )
-            new_n_gen = jnp.where(is_eos, n_gen, n_gen + 1)
+            pos_vec = true_len + n_gen  # this token's slot per example
+            n_gen = jnp.where(newly_done, n_gen, n_gen + 1)
             logits, cache = self.decoder.decode_step(
-                dec_params, tok[None], true_len + n_gen, cache
+                dec_params, tok, pos_vec, cache
             )
-            return cache, logits, new_n_gen, is_eos, out_buf
+            return cache, logits, n_gen, newly_done, out_buf, step + 1
 
-        state = (cache, logits, jnp.int32(0), jnp.bool_(False), out_buf)
-        _, _, n_gen, _, out_buf = jax.lax.while_loop(cond, body, state)
+        state = (
+            cache, logits, jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,), bool), out_buf, jnp.int32(0),
+        )
+        _, _, n_gen, _, out_buf, _ = jax.lax.while_loop(cond, body, state)
         return out_buf, n_gen
 
     # ------------------------------------------------------------------ #
@@ -220,50 +232,78 @@ class AsrEngine:
         language: Optional[str] = None,
     ) -> TranscribeResult:
         """Transcribe mono 16 kHz f32 samples (single bucketed dispatch)."""
+        return self.transcribe_batch([samples], [language])[0]
+
+    def transcribe_batch(
+        self,
+        samples_list: list,
+        languages: Optional[list] = None,
+    ) -> list:
+        """Transcribe a batch of utterances in ONE device dispatch.
+
+        All utterances share one audio-length bucket (the max needed), a
+        batched KV cache, and a single prefill + decode loop with
+        per-example EOS. This is the serving fast path the reference has
+        no analog of: decode weight streaming amortizes across the batch.
+        """
+        b = len(samples_list)
+        if languages is None:
+            languages = [None] * b
         cf = self.config.audio.chunk_frames
         tpc = self.config.audio.tokens_per_chunk
-
-        n_frames = num_mel_frames(len(samples))
-        bucket_chunks = self._pick_bucket(n_frames)
-        bucket_frames = bucket_chunks * cf
-        wave, n_true = pad_waveform(samples, bucket_frames=bucket_frames)
-        logger.info("Mel spectrogram: %d frames (bucket %d chunks)",
-                    n_true, bucket_chunks)
-
-        # exact valid audio-token count (host mirror of encoder.valid_tokens)
         from ..config import feat_extract_output_length
 
-        full = n_true // cf
-        tail = n_true % cf
-        n_audio = full * tpc + (
-            feat_extract_output_length(tail) if tail else 0
+        bucket_chunks = max(
+            self._pick_bucket(num_mel_frames(len(s))) for s in samples_list
         )
-        logger.info("Audio encoder: %d tokens", n_audio)
-
-        prompt = build_prompt(n_audio, language, self.tokenizer)
-        true_len = len(prompt)
+        bucket_frames = bucket_chunks * cf
         p_bucket = self._prompt_bucket(bucket_chunks)
-        if true_len > p_bucket:
-            raise ValueError("prompt exceeds bucket; language string too long")
-        token_ids = np.zeros(p_bucket, np.int32)
-        token_ids[:true_len] = prompt
 
-        graph = self._graph(bucket_chunks)
+        waves, n_trues, token_ids, true_lens = [], [], [], []
+        for samples, language in zip(samples_list, languages):
+            wave, n_true = pad_waveform(samples, bucket_frames=bucket_frames)
+            full, tail = n_true // cf, n_true % cf
+            n_audio = full * tpc + (
+                feat_extract_output_length(tail) if tail else 0
+            )
+            prompt = build_prompt(n_audio, language, self.tokenizer)
+            if len(prompt) > p_bucket:
+                raise ValueError(
+                    "prompt exceeds bucket; language string too long"
+                )
+            ids = np.zeros(p_bucket, np.int32)
+            ids[: len(prompt)] = prompt
+            waves.append(wave)
+            n_trues.append(n_true)
+            token_ids.append(ids)
+            true_lens.append(len(prompt))
+        logger.info(
+            "Batch %d: bucket %d chunks, prompt bucket %d",
+            b, bucket_chunks, p_bucket,
+        )
+
+        graph = self._graph(bucket_chunks, b)
         out_buf, n_gen = graph(
             self.enc_params,
             self.dec_params,
-            jnp.asarray(wave),
-            jnp.int32(n_true),
-            jnp.asarray(token_ids),
-            jnp.int32(true_len),
+            jnp.asarray(np.stack(waves)),
+            jnp.asarray(np.asarray(n_trues, np.int32)),
+            jnp.asarray(np.stack(token_ids)),
+            jnp.asarray(np.asarray(true_lens, np.int32)),
         )
-        n_gen = int(n_gen)
-        generated = np.asarray(out_buf)[:n_gen].tolist()
-        logger.info("Generated %d tokens", n_gen)
+        out_buf = np.asarray(out_buf)
+        n_gen = np.asarray(n_gen)
 
-        raw = self.tokenizer.decode(generated)
-        lang, text = parse_asr_output(raw, language is not None)
-        return TranscribeResult(text=text, language=lang, raw_output=raw)
+        results = []
+        for i, language in enumerate(languages):
+            generated = out_buf[i, : int(n_gen[i])].tolist()
+            raw = self.tokenizer.decode(generated)
+            lang, text = parse_asr_output(raw, language is not None)
+            results.append(
+                TranscribeResult(text=text, language=lang, raw_output=raw)
+            )
+        logger.info("Generated %s tokens", n_gen.tolist())
+        return results
 
     def transcribe(
         self,

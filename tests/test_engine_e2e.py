@@ -148,6 +148,28 @@ def test_engine_bucket_consistency(rng):
     assert r_small.raw_output == r_big.raw_output
 
 
+def test_engine_batch_matches_single(rng):
+    """Batched dispatch must generate the same tokens as per-utterance."""
+    cfg = make_engine()[1]
+    enc_params = init_encoder_params(cfg.audio, dtype=jnp.float32)
+    dec_params = init_decoder_params(cfg.text, dtype=jnp.float32)
+
+    def engine(buckets):
+        return AsrEngine(
+            model_dir=None, dtype=jnp.float32, max_new_tokens=4,
+            chunk_buckets=buckets, config=cfg,
+            params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+        )
+
+    eng = engine((4,))  # one bucket so single/batch shapes match exactly
+    a = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    b = (rng.standard_normal(30000) * 0.1).astype(np.float32)
+
+    singles = [eng.transcribe_samples(a), eng.transcribe_samples(b)]
+    batch = eng.transcribe_batch([a, b])
+    assert [r.raw_output for r in batch] == [r.raw_output for r in singles]
+
+
 def test_parse_asr_output():
     assert parse_asr_output("language English<asr_text>Hello.", False) == (
         "English", "Hello.",
