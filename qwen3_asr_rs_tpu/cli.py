@@ -86,8 +86,11 @@ def main(argv=None) -> int:
         else jnp.bfloat16
     )
     max_new = int(os.environ.get("ASR_MAX_NEW_TOKENS", "4096"))
+    quantize = os.environ.get("ASR_QUANT") or None
 
-    engine = AsrEngine(model_path, dtype=dtype, max_new_tokens=max_new)
+    engine = AsrEngine(
+        model_path, dtype=dtype, max_new_tokens=max_new, quantize=quantize
+    )
     logger.info("Transcribing: %s", audio_file)
     result = engine.transcribe(audio_file, language)
 

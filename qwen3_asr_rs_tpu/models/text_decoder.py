@@ -75,10 +75,31 @@ class KVCache:
 jax.tree_util.register_dataclass(KVCache, data_fields=["k", "v"], meta_fields=[])
 
 
+def _interpret_pallas() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _linear(tree: PyTree, name: str, x):
+    """x @ W for a bf16 weight or an int8-quantized (W_q, scales) pair."""
+    if f"{name}_q" in tree:
+        from ..ops.pallas.quant_matmul import quant_matmul
+
+        shape = x.shape
+        y = quant_matmul(
+            x.reshape(-1, shape[-1]),
+            tree[f"{name}_q"],
+            tree[f"{name}_s"],
+            out_dtype=x.dtype,
+            interpret=_interpret_pallas(),
+        )
+        return y.reshape(*shape[:-1], y.shape[-1])
+    return x @ tree[name]
+
+
 def _qkv(layer: PyTree, name: str, x, num_heads: int, head_dim: int):
     """Project and split into heads: (B, S, H*D) -> (B, S, H, D)."""
     b, s, _ = x.shape
-    out = x @ layer[f"{name}_w"]
+    out = _linear(layer, f"{name}_w", x)
     bias = layer.get(f"{name}_b")
     if bias is not None:
         out = out + bias
@@ -164,14 +185,14 @@ class TextDecoder:
 
         b, s, _, _ = attn.shape
         attn = attn.reshape(b, s, cfg.num_attention_heads * cfg.head_dim)
-        o = attn @ layer["o_w"]
+        o = _linear(layer, "o_w", attn)
         x = residual + o
 
         residual = x
         h = rms_norm(x, layer["post_ln_w"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(h @ layer["gate_w"])
-        up = h @ layer["up_w"]
-        h = (gate * up) @ layer["down_w"]
+        gate = jax.nn.silu(_linear(layer, "gate_w", h))
+        up = _linear(layer, "up_w", h)
+        h = _linear(layer, "down_w", gate * up)
         return residual + h, k_cache, v_cache
 
     def _run_layers(self, params, hidden, cos, sin, cache, *, write_pos,
@@ -192,6 +213,18 @@ class TextDecoder:
     def logits(self, params: PyTree, hidden):
         """Final norm + lm head, computed in f32 (argmax parity)."""
         h = rms_norm(hidden, params["final_ln_w"], self.cfg.rms_norm_eps)
+        if "lm_head_q" in params:
+            from ..ops.pallas.quant_matmul import quant_matmul
+
+            b, s, d = h.shape
+            y = quant_matmul(
+                h.reshape(-1, d),
+                params["lm_head_q"],
+                params["lm_head_s"],
+                out_dtype=jnp.float32,
+                interpret=_interpret_pallas(),
+            )
+            return y.reshape(b, s, -1)
         return jnp.einsum(
             "bsh,vh->bsv", h, params["lm_head"],
             preferred_element_type=jnp.float32,

@@ -76,6 +76,7 @@ class AsrEngine:
         config: Optional[AsrConfig] = None,
         params: Optional[tuple] = None,
         tokenizer: Optional[AsrTokenizer] = None,
+        quantize: Optional[str] = None,
     ):
         model_dir = Path(model_dir) if model_dir is not None else None
         if config is None:
@@ -91,6 +92,14 @@ class AsrEngine:
             params = load_model_params(model_dir, config, dtype)
             logger.info("Weights loaded in %.1fs", time.monotonic() - t0)
         self.enc_params, self.dec_params = params
+
+        if quantize == "int8":
+            from ..weights.quantize import quantize_decoder_params
+
+            logger.info("Quantizing decoder weights to int8")
+            self.dec_params = quantize_decoder_params(self.dec_params)
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
 
         if tokenizer is None:
             tokenizer = AsrTokenizer.from_dir(model_dir)

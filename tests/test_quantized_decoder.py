@@ -1,0 +1,63 @@
+"""Quantized decoder path: logits parity vs dequantized weights + e2e."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from qwen3_asr_rs_tpu.config import tiny_test_config
+from qwen3_asr_rs_tpu.models.text_decoder import TextDecoder, init_decoder_params
+from qwen3_asr_rs_tpu.ops.pallas.quant_matmul import dequantize
+from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+from qwen3_asr_rs_tpu.weights.quantize import (
+    QUANT_LAYER_WEIGHTS,
+    is_quantized,
+    quantize_decoder_params,
+)
+
+from test_engine_e2e import MockTokenizer, make_engine
+
+
+def test_quantized_forward_matches_dequantized_reference(rng):
+    """int8 pallas path == forward with explicitly dequantized bf16 weights."""
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    qparams = quantize_decoder_params(params)
+    assert is_quantized(qparams)
+
+    # reference: plain decoder with the dequantized weights
+    deq = {
+        "embed": params["embed"],
+        "final_ln_w": params["final_ln_w"],
+        "layers": dict(qparams["layers"]),
+        "lm_head": jnp.transpose(
+            dequantize(qparams["lm_head_q"], qparams["lm_head_s"])
+        ),
+    }
+    for name in QUANT_LAYER_WEIGHTS:
+        w_q = qparams["layers"][f"{name}_q"]
+        s = qparams["layers"][f"{name}_s"]
+        deq["layers"][name] = jnp.stack(
+            [dequantize(w_q[i], s[i]) for i in range(w_q.shape[0])]
+        )
+        del deq["layers"][f"{name}_q"], deq["layers"][f"{name}_s"]
+
+    dec = TextDecoder(cfg, max_position=64)
+    ids = jnp.asarray([[3, 7, 1, 9, 2]], jnp.int32)
+    hidden = dec.embed(params, ids)
+    got = dec.forward_full(qparams, hidden, jnp.arange(5))
+    want = dec.forward_full(deq, hidden, jnp.arange(5))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_engine_with_int8_quantization(rng):
+    _, cfg, enc_params, dec_params = make_engine(max_new=4)
+    eng = AsrEngine(
+        model_dir=None, dtype=jnp.float32, max_new_tokens=4,
+        chunk_buckets=(2, 4), config=cfg,
+        params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+        quantize="int8",
+    )
+    samples = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    result = eng.transcribe_samples(samples)
+    assert isinstance(result.raw_output, str)
