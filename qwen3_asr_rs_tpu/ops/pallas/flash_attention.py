@@ -149,27 +149,33 @@ def flash_attention(
         sk=sk,
     )
 
+    # TPU blocking wants (seq, head_dim) as the trailing dims; heads move
+    # to the grid. The transposes are tiny next to the attention itself.
+    qt = q.transpose(0, 2, 1, 3)  # (B, Hq, Sq, D)
+    kt = k.transpose(0, 2, 1, 3)  # (B, Hkv, Sk, D)
+    vt = v.transpose(0, 2, 1, 3)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch, hq, nq, nk),
         in_specs=[
             pl.BlockSpec(
-                (1, block_q, 1, d),
+                (1, 1, block_q, d),
                 # trailing arg: the scalar-prefetch ref
-                lambda b, h, qi, ki, *_: (b, qi, h, 0),
+                lambda b, h, qi, ki, *_: (b, h, qi, 0),
             ),
             pl.BlockSpec(
-                (1, block_k, 1, d),
-                lambda b, h, qi, ki, *_, g=groups: (b, ki, h // g, 0),
+                (1, 1, block_k, d),
+                lambda b, h, qi, ki, *_, g=groups: (b, h // g, ki, 0),
             ),
             pl.BlockSpec(
-                (1, block_k, 1, d),
-                lambda b, h, qi, ki, *_, g=groups: (b, ki, h // g, 0),
+                (1, 1, block_k, d),
+                lambda b, h, qi, ki, *_, g=groups: (b, h // g, ki, 0),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, 1, d),
-            lambda b, h, qi, ki, *_: (b, qi, h, 0),
+            (1, 1, block_q, d),
+            lambda b, h, qi, ki, *_: (b, h, qi, 0),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -182,17 +188,17 @@ def flash_attention(
         # squeeze the unit batch/head block dims
         kernel(
             kv_valid_ref,
-            q_ref.at[0, :, 0, :],
-            k_ref.at[0, :, 0, :],
-            v_ref.at[0, :, 0, :],
-            o_ref.at[0, :, 0, :],
+            q_ref.at[0, 0],
+            k_ref.at[0, 0],
+            v_ref.at[0, 0],
+            o_ref.at[0, 0],
             m, l, acc,
         )
 
     out = pl.pallas_call(
         kernel_sq,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, sq, hq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, hq, sq, d), q.dtype),
         interpret=interpret,
-    )(kv_valid, q, k, v)
-    return out
+    )(kv_valid, qt, kt, vt)
+    return out.transpose(0, 2, 1, 3)

@@ -1,0 +1,55 @@
+"""Run Pallas kernels compiled on the real TPU and compare vs dense/XLA."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_asr_rs_tpu.ops.attention import dense_attention, MASK_VALUE
+    from qwen3_asr_rs_tpu.ops.pallas.flash_attention import flash_attention
+    from qwen3_asr_rs_tpu.ops.pallas.quant_matmul import (
+        dequantize, quant_matmul, quantize_weight,
+    )
+
+    print("backend:", jax.default_backend(), file=sys.stderr)
+    rng = np.random.default_rng(0)
+
+    # flash attention: prefill-like GQA causal + validity
+    b, sq, sk, hq, hkv, d = 1, 448, 448, 16, 8, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, hq, d)) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, sk, hkv, d)) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, sk, hkv, d)) * 0.3, jnp.bfloat16)
+    valid = jnp.asarray([430], jnp.int32)
+    out = flash_attention(q, k, v, valid, causal=True)
+    i = np.arange(sq)[:, None]
+    j = np.arange(sk)[None, :]
+    mask = np.where(j <= i, 0.0, MASK_VALUE) + np.where(j < 430, 0.0,
+                                                        MASK_VALUE)
+    ref = dense_attention(q, k, v, mask=jnp.asarray(mask, jnp.float32)[None,
+                                                                       None])
+    got, want = np.asarray(out, np.float32), np.asarray(ref, np.float32)
+    err = np.max(np.abs(got[:, :430] - want[:, :430]))
+    print(f"flash max err vs dense (bf16): {err:.5f}")
+    assert err < 0.05, "flash kernel mismatch on TPU"
+
+    # quant matmul
+    x = jnp.asarray(rng.standard_normal((8, 1024)) * 0.3, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((1024, 2048)) * 0.02, jnp.float32)
+    w_q, s = quantize_weight(w)
+    y = quant_matmul(x, w_q, s, out_dtype=jnp.float32)
+    y_ref = x.astype(jnp.float32) @ dequantize(w_q, s)
+    qerr = np.max(np.abs(np.asarray(y) - np.asarray(y_ref)))
+    print(f"quant_matmul max err: {qerr:.5f}")
+    assert qerr < 0.05, "quant matmul mismatch on TPU"
+    print("TPU kernel check OK")
+
+
+if __name__ == "__main__":
+    main()
