@@ -62,7 +62,9 @@ def load_audio(path: str | Path, target_sample_rate: int = 16000) -> np.ndarray:
     except Exception as e:  # noqa: BLE001
         errors.append(f"wav: {e}")
 
-    raise RuntimeError(
+    from ..errors import AudioError
+
+    raise AudioError(
         f"Could not decode audio file {path}; attempts: {'; '.join(errors)}"
     )
 

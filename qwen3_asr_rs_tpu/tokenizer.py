@@ -40,7 +40,9 @@ class AsrTokenizer:
         model_dir = Path(model_dir)
         path = model_dir / "tokenizer.json"
         if not path.exists():
-            raise FileNotFoundError(
+            from .errors import TokenizerError
+
+            raise TokenizerError(
                 f"tokenizer.json not found in {model_dir}. Generate it with:\n"
                 f'  python -c "from transformers import AutoTokenizer; '
                 f"tok = AutoTokenizer.from_pretrained('{model_dir}', "

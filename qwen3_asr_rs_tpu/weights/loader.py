@@ -54,7 +54,9 @@ def load_checkpoint(model_dir: str | Path) -> Dict[str, jnp.ndarray]:
     elif single_path.exists():
         files = [single_path]
     else:
-        raise FileNotFoundError(
+        from ..errors import WeightsError
+
+        raise WeightsError(
             f"No model.safetensors or model.safetensors.index.json in {model_dir}"
         )
 
@@ -81,7 +83,9 @@ def load_model_params(
 
 def _get(tensors, name, dtype):
     if name not in tensors:
-        raise KeyError(f"Missing weight: {name}")
+        from ..errors import WeightsError
+
+        raise WeightsError(f"Missing weight: {name}")
     return tensors[name].astype(dtype)
 
 

@@ -1,0 +1,60 @@
+"""CLI E2E over the reference repo's three audio fixtures.
+
+Mirrors the reference's CI contract (.github/workflows/ci.yml:129-137):
+run the CLI on sample{1,2,3}.wav and assert success + output format.
+Transcript *content* parity needs real model weights (not available in
+this environment), so a synthetic tiny checkpoint is used — the full
+pipeline (24 kHz WAV decode -> resample -> mel -> encode -> decode ->
+parse) is still exercised end to end.
+"""
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import pytest
+
+from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
+from qwen3_asr_rs_tpu.weights.export import save_checkpoint
+
+from test_weights_roundtrip import _tiny_cfg_real_vocab, write_word_tokenizer
+
+FIXTURES = sorted(Path("/root/reference/test_audio").glob("*.wav"))
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    cfg = _tiny_cfg_real_vocab()
+    d = tmp_path_factory.mktemp("model")
+    save_checkpoint(
+        d,
+        init_encoder_params(cfg.audio, dtype=jnp.float32),
+        init_decoder_params(cfg.text, dtype=jnp.float32),
+        cfg,
+    )
+    write_word_tokenizer(d)
+    return d
+
+
+@pytest.mark.parametrize("wav", FIXTURES, ids=[p.stem for p in FIXTURES])
+def test_cli_on_reference_fixture(model_dir, wav, capsys, monkeypatch):
+    monkeypatch.setenv("ASR_MAX_NEW_TOKENS", "3")
+    monkeypatch.setenv("ASR_DTYPE", "float32")
+    from qwen3_asr_rs_tpu.cli import main
+
+    rc = main([str(model_dir), str(wav)])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().split("\n")
+    assert out[0].startswith("Language:")
+    assert out[1].startswith("Text:")
+
+
+def test_cli_forced_language_on_fixture(model_dir, capsys, monkeypatch):
+    monkeypatch.setenv("ASR_MAX_NEW_TOKENS", "3")
+    monkeypatch.setenv("ASR_DTYPE", "float32")
+    from qwen3_asr_rs_tpu.cli import main
+
+    rc = main([str(model_dir), str(FIXTURES[0]), "english"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().split("\n")
+    assert out[0] == "Language: forced"
