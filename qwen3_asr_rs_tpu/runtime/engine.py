@@ -44,6 +44,7 @@ from ..tokenizer import (
     ENDOFTEXT_TOKEN_ID,
     IM_END_TOKEN_ID,
 )
+from ..utils.tracing import stage_timer
 from ..weights.loader import load_model_params
 from .prompt import AUDIO_OFFSET, build_prompt, parse_asr_output
 
@@ -235,6 +236,24 @@ class AsrEngine:
 
     # ------------------------------------------------------------------ #
 
+    def warmup(self, batch_sizes: Sequence[int] = (1,),
+               buckets: Optional[Sequence[int]] = None) -> None:
+        """Precompile the fused graph for the given buckets/batch sizes.
+
+        Serving deployments call this once at startup so no user request
+        pays a compile. Compilation is incremental: each (bucket, batch)
+        pair is one cached executable.
+        """
+        buckets = list(buckets if buckets is not None else self.chunk_buckets)
+        cf = self.config.audio.chunk_frames
+        for c in buckets:
+            for b in batch_sizes:
+                seconds = c * cf * 160 / 16000
+                clip = np.zeros(int(16000 * seconds), np.float32)
+                with stage_timer(f"warmup_c{c}_b{b}"):
+                    self.transcribe_batch([clip] * b)
+                logger.info("warmed bucket %d chunks, batch %d", c, b)
+
     def transcribe_samples(
         self,
         samples: np.ndarray,
@@ -292,16 +311,17 @@ class AsrEngine:
         )
 
         graph = self._graph(bucket_chunks, b)
-        out_buf, n_gen = graph(
-            self.enc_params,
-            self.dec_params,
-            jnp.asarray(np.stack(waves)),
-            jnp.asarray(np.asarray(n_trues, np.int32)),
-            jnp.asarray(np.stack(token_ids)),
-            jnp.asarray(np.asarray(true_lens, np.int32)),
-        )
-        out_buf = np.asarray(out_buf)
-        n_gen = np.asarray(n_gen)
+        with stage_timer("device_dispatch"):
+            out_buf, n_gen = graph(
+                self.enc_params,
+                self.dec_params,
+                jnp.asarray(np.stack(waves)),
+                jnp.asarray(np.asarray(n_trues, np.int32)),
+                jnp.asarray(np.stack(token_ids)),
+                jnp.asarray(np.asarray(true_lens, np.int32)),
+            )
+            out_buf = np.asarray(out_buf)
+            n_gen = np.asarray(n_gen)
 
         results = []
         for i, language in enumerate(languages):
