@@ -90,18 +90,20 @@ def main():
         jnp.asarray([len(prompt)], jnp.int32),
     )
 
-    # warmup / compile
+    # warmup / compile. NOTE: results are fetched to host each run —
+    # through the tunneled-TPU transport only a host fetch truly
+    # synchronizes, and the fetch is part of honest end-to-end latency.
     for _ in range(WARMUP):
         out, n_gen = graph(*args)
-        jax.block_until_ready(out)
-    n_generated = int(n_gen)
+        np.asarray(out)
+    n_generated = int(np.asarray(n_gen)[0])
     print(f"compiled; generated {n_generated} tokens/run", file=sys.stderr)
 
     times = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
         out, n_gen = graph(*args)
-        jax.block_until_ready(out)
+        np.asarray(out)
         times.append(time.perf_counter() - t0)
 
     median = sorted(times)[len(times) // 2]

@@ -79,6 +79,7 @@ def attention(
     *,
     causal: bool = False,
     kv_valid=None,
+    kv_start=None,
     scale: float | None = None,
     impl: str | None = None,
 ):
@@ -89,6 +90,8 @@ def attention(
       causal: query i attends keys j <= i (prefill).
       kv_valid: optional (B,) int32 — keys with index >= kv_valid[b] are
         masked (encoder window padding / decode slot limit).
+      kv_start: optional (B,) int32 — keys with index < kv_start[b] are
+        masked (left-padded/right-aligned batch layouts).
       impl: 'dense' | 'flash' | None (auto). Auto uses the Pallas flash
         kernel on TPU for long sequences (where the materialized score
         matrix would be HBM-resident) and the fused-by-XLA dense path
@@ -109,7 +112,7 @@ def attention(
         from .pallas.flash_attention import flash_attention
 
         return flash_attention(
-            q, k, v, kv_valid, causal=causal, scale=scale,
+            q, k, v, kv_valid, kv_start, causal=causal, scale=scale,
             interpret=jax.default_backend() not in ("tpu", "axon"),
         )
 
@@ -118,6 +121,10 @@ def attention(
     if kv_valid is not None:
         j = jnp.arange(sk)[None, None, None, :]
         mask = jnp.where(j < kv_valid[:, None, None, None], 0.0, MASK_VALUE)
+    if kv_start is not None:
+        j = jnp.arange(sk)[None, None, None, :]
+        sm = jnp.where(j >= kv_start[:, None, None, None], 0.0, MASK_VALUE)
+        mask = sm if mask is None else mask + sm
     if causal:
         i = jnp.arange(sq)[:, None]
         j = jnp.arange(sk)[None, :]

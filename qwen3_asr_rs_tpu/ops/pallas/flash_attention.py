@@ -32,7 +32,8 @@ INIT_M = -1e30
 
 def _flash_kernel(
     # scalar prefetch
-    kv_valid_ref,  # (B,) int32 or None semantics via full Sk
+    kv_valid_ref,   # (B,) int32: keys >= kv_valid[b] masked
+    kv_start_ref,   # (B,) int32: keys <  kv_start[b] masked (left padding)
     # inputs
     q_ref,  # (BQ, D)
     k_ref,  # (BK, D)
@@ -47,6 +48,7 @@ def _flash_kernel(
     scale: float,
     causal: bool,
     use_kv_valid: bool,
+    use_kv_start: bool,
     block_q: int,
     block_k: int,
     sq: int,
@@ -76,6 +78,8 @@ def _flash_kernel(
     mask_bad = col >= sk
     if use_kv_valid:
         mask_bad = jnp.logical_or(mask_bad, col >= kv_valid_ref[b])
+    if use_kv_start:
+        mask_bad = jnp.logical_or(mask_bad, col < kv_start_ref[b])
     if causal:
         row = qi * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0
@@ -116,6 +120,7 @@ def flash_attention(
     k,  # (B, Sk, Hkv, D)
     v,  # (B, Sk, Hkv, D)
     kv_valid=None,  # (B,) int32 or None
+    kv_start=None,  # (B,) int32 or None — left-padding offset per example
     *,
     causal: bool = False,
     scale: float | None = None,
@@ -137,12 +142,17 @@ def flash_attention(
     if kv_valid is None:
         kv_valid = jnp.full((batch,), sk, jnp.int32)
     kv_valid = kv_valid.astype(jnp.int32)
+    use_kv_start = kv_start is not None
+    if kv_start is None:
+        kv_start = jnp.zeros((batch,), jnp.int32)
+    kv_start = kv_start.astype(jnp.int32)
 
     kernel = functools.partial(
         _flash_kernel,
         scale=scale,
         causal=causal,
         use_kv_valid=use_kv_valid,
+        use_kv_start=use_kv_start,
         block_q=block_q,
         block_k=block_k,
         sq=sq,
@@ -156,7 +166,7 @@ def flash_attention(
     vt = v.transpose(0, 2, 1, 3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(batch, hq, nq, nk),
         in_specs=[
             pl.BlockSpec(
@@ -184,10 +194,12 @@ def flash_attention(
         ],
     )
 
-    def kernel_sq(kv_valid_ref, q_ref, k_ref, v_ref, o_ref, m, l, acc):
+    def kernel_sq(kv_valid_ref, kv_start_ref, q_ref, k_ref, v_ref, o_ref,
+                  m, l, acc):
         # squeeze the unit batch/head block dims
         kernel(
             kv_valid_ref,
+            kv_start_ref,
             q_ref.at[0, 0],
             k_ref.at[0, 0],
             v_ref.at[0, 0],
@@ -200,5 +212,5 @@ def flash_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((batch, hq, sq, d), q.dtype),
         interpret=interpret,
-    )(kv_valid, qt, kt, vt)
+    )(kv_valid, kv_start, qt, kt, vt)
     return out.transpose(0, 2, 1, 3)

@@ -29,10 +29,14 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[:].astype(jnp.float32)
-    w = w_ref[:].astype(jnp.float32)
+    # Dequantize to bf16, not f32: int8 values are exactly representable
+    # in bf16 and the MXU runs bf16 inputs at full rate (f32 inputs cost
+    # ~4x the passes). Accumulation stays f32.
+    x = x_ref[:]
+    w = w_ref[:].astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot_general(
-        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        x.astype(jnp.bfloat16), w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(ki == n_k - 1)

@@ -114,7 +114,15 @@ class AsrEngine:
         max_pos = 16
         for c in self.chunk_buckets:
             max_pos = max(max_pos, self._prompt_bucket(c) + max_new_tokens + 8)
+        # prefill runs the layer scan (compute-bound, compile-light);
+        # decode steps run unrolled layers (weight-streaming-bound —
+        # unrolling lets XLA fuse the per-layer weight slices, ~1.5x
+        # faster HBM streaming measured on v5e).
         self.decoder = TextDecoder(config.text, max_position=max_pos)
+        self.decoder_unrolled = TextDecoder(
+            config.text, max_position=max_pos, unroll_layers=True
+        )
+        self.decoder_unrolled.rotary = self.decoder.rotary
         self._graphs = {}
 
     # ------------------------------------------------------------------ #
@@ -222,8 +230,11 @@ class AsrEngine:
             )
             pos_vec = true_len + n_gen  # this token's slot per example
             n_gen = jnp.where(newly_done, n_gen, n_gen + 1)
-            logits, cache = self.decoder.decode_step(
-                dec_params, tok, pos_vec, cache
+            # B == 1: collapse to a scalar position so the cache write is a
+            # dynamic_update_slice instead of a (slower) batched scatter.
+            pos_arg = pos_vec[0] if b == 1 else pos_vec
+            logits, cache = self.decoder_unrolled.decode_step(
+                dec_params, tok, pos_arg, cache
             )
             return cache, logits, n_gen, newly_done, out_buf, step + 1
 

@@ -60,6 +60,29 @@ def test_flash_matches_dense(rng, b, sq, sk, hq, hkv, d, causal, valid):
             )
 
 
+def test_flash_kv_start_matches_dense(rng):
+    """Left-padding (kv_start) masking parity between flash and dense."""
+    from qwen3_asr_rs_tpu.ops.attention import attention
+
+    b, sq, sk, h, d = 2, 128, 128, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, sk, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, sk, h, d)), jnp.float32)
+    start = jnp.asarray([20, 0], jnp.int32)
+
+    flash = flash_attention(q, k, v, None, start, causal=True,
+                            interpret=True)
+    dense = attention(q, k, v, causal=True, kv_start=start, impl="dense")
+    got = np.asarray(flash)
+    want = np.asarray(dense)
+    for i in range(b):
+        for qi in range(int(start[i]), sq):  # rows with >= 1 live key
+            np.testing.assert_allclose(
+                got[i, qi], want[i, qi], atol=2e-5, rtol=1e-4,
+                err_msg=f"b={i} q={qi}",
+            )
+
+
 def test_flash_odd_block_boundaries(rng):
     # Sq/Sk not multiples of the block size exercise edge masking
     b, sq, sk, h, d = 1, 130, 130, 2, 64

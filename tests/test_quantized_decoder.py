@@ -45,8 +45,10 @@ def test_quantized_forward_matches_dequantized_reference(rng):
     hidden = dec.embed(params, ids)
     got = dec.forward_full(qparams, hidden, jnp.arange(5))
     want = dec.forward_full(deq, hidden, jnp.arange(5))
+    # the quantized kernel computes in bf16 (f32 accumulation); the
+    # reference path is f32 throughout — tolerance reflects bf16 rounding
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3
+        np.asarray(got), np.asarray(want), atol=5e-2, rtol=2e-2
     )
 
 
