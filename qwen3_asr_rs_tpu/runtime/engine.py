@@ -78,6 +78,7 @@ class AsrEngine:
         params: Optional[tuple] = None,
         tokenizer: Optional[AsrTokenizer] = None,
         quantize: Optional[str] = None,
+        unroll_decode: bool = False,
     ):
         model_dir = Path(model_dir) if model_dir is not None else None
         if config is None:
@@ -114,15 +115,18 @@ class AsrEngine:
         max_pos = 16
         for c in self.chunk_buckets:
             max_pos = max(max_pos, self._prompt_bucket(c) + max_new_tokens + 8)
-        # prefill runs the layer scan (compute-bound, compile-light);
-        # decode steps run unrolled layers (weight-streaming-bound —
-        # unrolling lets XLA fuse the per-layer weight slices, ~1.5x
-        # faster HBM streaming measured on v5e).
+        # Prefill always runs the layer scan (compute-bound, compile-
+        # light). Decode steps can optionally unroll the layers — slightly
+        # better weight streaming (~2% e2e on v5e) at ~5x the compile
+        # time, so it is opt-in for long-running servers.
         self.decoder = TextDecoder(config.text, max_position=max_pos)
-        self.decoder_unrolled = TextDecoder(
-            config.text, max_position=max_pos, unroll_layers=True
-        )
-        self.decoder_unrolled.rotary = self.decoder.rotary
+        if unroll_decode:
+            self.decoder_unrolled = TextDecoder(
+                config.text, max_position=max_pos, unroll_layers=True
+            )
+            self.decoder_unrolled.rotary = self.decoder.rotary
+        else:
+            self.decoder_unrolled = self.decoder
         self._graphs = {}
 
     # ------------------------------------------------------------------ #
