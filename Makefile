@@ -1,0 +1,23 @@
+.PHONY: all native test test-fast bench dryrun clean
+
+all: native
+
+native:
+	$(MAKE) -C native
+
+test: native
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q -x
+
+bench:
+	python bench.py
+
+dryrun:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+	python __graft_entry__.py
+
+clean:
+	$(MAKE) -C native clean
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -61,15 +61,28 @@ def main(argv=None) -> int:
         print(USAGE, file=sys.stderr)
         return 1
 
-    model_path, audio_file = argv[0], argv[1]
-    language = argv[2] if len(argv) > 2 else None
+    model_path = argv[0]
+    # Reference-compatible: `asr <model> <audio> [language]`. Extension:
+    # several audio files may be given (transcribed as ONE batched device
+    # dispatch); the first trailing arg that is not an existing file is
+    # the forced language.
+    audio_files = []
+    language = None
+    for arg in argv[1:]:
+        if Path(arg).exists():
+            audio_files.append(arg)
+        elif language is None and audio_files:
+            language = arg
+        else:
+            print(f"Error: Audio file not found: {arg}", file=sys.stderr)
+            return 1
 
     if not Path(model_path).exists():
         print(f"Error: Model directory not found: {model_path}",
               file=sys.stderr)
         return 1
-    if not Path(audio_file).exists():
-        print(f"Error: Audio file not found: {audio_file}", file=sys.stderr)
+    if not audio_files:
+        print("Error: no audio file given", file=sys.stderr)
         return 1
 
     import jax
@@ -91,11 +104,23 @@ def main(argv=None) -> int:
     engine = AsrEngine(
         model_path, dtype=dtype, max_new_tokens=max_new, quantize=quantize
     )
-    logger.info("Transcribing: %s", audio_file)
-    result = engine.transcribe(audio_file, language)
 
-    print(f"Language: {result.language}")
-    print(f"Text: {result.text}")
+    if len(audio_files) == 1:
+        logger.info("Transcribing: %s", audio_files[0])
+        result = engine.transcribe(audio_files[0], language)
+        print(f"Language: {result.language}")
+        print(f"Text: {result.text}")
+        return 0
+
+    logger.info("Transcribing %d files as one batch", len(audio_files))
+    from .audio.load import load_audio
+
+    samples = [load_audio(f, 16000) for f in audio_files]
+    results = engine.transcribe_batch(samples, [language] * len(samples))
+    for f, result in zip(audio_files, results):
+        print(f"File: {f}")
+        print(f"Language: {result.language}")
+        print(f"Text: {result.text}")
     return 0
 
 

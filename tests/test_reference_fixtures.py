@@ -49,6 +49,20 @@ def test_cli_on_reference_fixture(model_dir, wav, capsys, monkeypatch):
     assert out[1].startswith("Text:")
 
 
+def test_cli_multi_file_batch(model_dir, capsys, monkeypatch):
+    """CLI extension: several audio files -> one batched dispatch."""
+    monkeypatch.setenv("ASR_MAX_NEW_TOKENS", "3")
+    monkeypatch.setenv("ASR_DTYPE", "float32")
+    from qwen3_asr_rs_tpu.cli import main
+
+    rc = main([str(model_dir), str(FIXTURES[0]), str(FIXTURES[1])])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("File: ") == 2
+    assert out.count("Language:") == 2
+    assert out.count("Text:") == 2
+
+
 def test_cli_forced_language_on_fixture(model_dir, capsys, monkeypatch):
     monkeypatch.setenv("ASR_MAX_NEW_TOKENS", "3")
     monkeypatch.setenv("ASR_DTYPE", "float32")
