@@ -100,6 +100,21 @@ def hann_window(n_fft: int) -> np.ndarray:
     ).astype(np.float32)
 
 
+def dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT as two matmul constants: cos and -sin, (n_fft, n_fft//2+1).
+
+    XLA's FFT lowering is slow on TPU; the power spectrum only needs
+    |DFT|^2 = (x @ C)^2 + (x @ S)^2, which the MXU computes an order of
+    magnitude faster than the rFFT op at Whisper's n_fft=400. Built in
+    float64 and stored f32.
+    """
+    n_freqs = n_fft // 2 + 1
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_freqs, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
 def num_mel_frames(num_samples: int, hop_length: int = 160) -> int:
     """Mel frame count for a raw sample count.
 
@@ -154,6 +169,9 @@ class LogMelFrontend:
             create_mel_filterbank(num_mel_bins, n_fft, sample_rate)
         )
         self.window = jnp.asarray(hann_window(n_fft))
+        cos_m, sin_m = dft_matrices(n_fft)
+        self.dft_cos = jnp.asarray(cos_m)
+        self.dft_sin = jnp.asarray(sin_m)
 
     def __call__(self, samples: np.ndarray, bucket_frames: int | None = None):
         """Extract log-mel features.
@@ -191,6 +209,13 @@ def _extract_jit(wave, n_true_frames, mel_filters, window, n_fft, hop_length):
     )
 
 
+@functools.lru_cache(maxsize=4)
+def _dft_consts(n_fft: int):
+    # cache host numpy constants (NOT jnp arrays: a device constant
+    # created during a trace would leak a tracer into later traces)
+    return dft_matrices(n_fft)
+
+
 def log_mel_from_padded(wave, n_true_frames, mel_filters, window,
                         n_fft: int = 400, hop_length: int = 160):
     """Core traced computation (also reusable inside larger jit graphs).
@@ -201,13 +226,30 @@ def log_mel_from_padded(wave, n_true_frames, mel_filters, window,
     """
     pad = n_fft // 2
     num_frames = (wave.shape[0] - 2 * pad) // hop_length
-    # Frame gather: frame t covers wave[t*hop : t*hop + n_fft].
-    idx = (
-        jnp.arange(num_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+    # Framing by strided slices: view the waveform as (., hop) rows; frame
+    # t = rows[t] ++ rows[t+1] ++ rows[t+2][:n_fft - 2*hop]. Pure slices +
+    # concat — a 1.2M-element gather or XLA's TPU FFT are each ~10x
+    # slower at these sizes. The DFT itself is two MXU matmuls against
+    # windowed cos/-sin constants (see dft_matrices).
+    k_full, rem = n_fft // hop_length, n_fft % hop_length
+    rows_needed = num_frames + k_full + (1 if rem else 0)
+    wave_p = jnp.pad(
+        wave.astype(jnp.float32),
+        (0, rows_needed * hop_length - wave.shape[0]),
     )
-    frames = wave[idx] * window[None, :]
-    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
-    power = jnp.abs(spec) ** 2  # (num_frames, n_fft//2+1)
+    rows = wave_p.reshape(rows_needed, hop_length)
+    parts = [rows[i : num_frames + i] for i in range(k_full)]
+    if rem:
+        parts.append(rows[k_full : num_frames + k_full, :rem])
+    frames = jnp.concatenate(parts, axis=1)  # (num_frames, n_fft)
+
+    dft_cos, dft_sin = _dft_consts(n_fft)
+    host_window = hann_window(n_fft)  # host constant (the traced `window`
+    wcos = jnp.asarray(dft_cos * host_window[:, None])  # arg can't fold)
+    wsin = jnp.asarray(dft_sin * host_window[:, None])
+    re = jnp.dot(frames, wcos, precision=jax.lax.Precision.HIGHEST)
+    im = jnp.dot(frames, wsin, precision=jax.lax.Precision.HIGHEST)
+    power = re * re + im * im  # (num_frames, n_freqs)
 
     # Mel projection: (mels, bins) @ (bins, frames)
     mel = mel_filters @ power.T
