@@ -237,7 +237,7 @@ class AsrEngine:
             # B == 1: collapse to a scalar position so the cache write is a
             # dynamic_update_slice instead of a (slower) batched scatter.
             pos_arg = pos_vec[0] if b == 1 else pos_vec
-            logits, cache = self.decoder_unrolled.decode_step(
+            logits, cache = self.decoder.decode_step(
                 dec_params, tok, pos_arg, cache
             )
             return cache, logits, n_gen, newly_done, out_buf, step + 1
