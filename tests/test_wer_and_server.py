@@ -1,0 +1,89 @@
+"""WER utility + batching HTTP server tests."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from qwen3_asr_rs_tpu.utils.wer import cer, edit_distance, wer
+
+
+def test_edit_distance():
+    assert edit_distance([], []) == 0
+    assert edit_distance(list("abc"), list("abc")) == 0
+    assert edit_distance(list("kitten"), list("sitting")) == 3
+    assert edit_distance(["a"], []) == 1
+
+
+def test_wer_cer():
+    assert wer("the quick brown fox", "the quick brown fox") == 0.0
+    assert wer("the quick brown fox", "the slow brown fox") == 0.25
+    assert wer("", "") == 0.0
+    assert wer("", "word") == 1.0
+    assert cer("你好世界", "你好地界") == 0.25
+
+
+@pytest.fixture(scope="module")
+def server():
+    from qwen3_asr_rs_tpu.runtime.server import BatchingWorker, make_handler
+    from test_engine_e2e import make_engine
+
+    eng, *_ = make_engine(max_new=2)
+    worker = BatchingWorker(eng, batch_window_ms=5.0, max_batch=4)
+    worker.start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    worker.stop()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(f"{server}/healthz") as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_transcribe_endpoint(server, tmp_path, rng):
+    from test_audio_io import write_wav_pcm16
+
+    wav = tmp_path / "req.wav"
+    write_wav_pcm16(wav, rng.standard_normal(16000) * 0.1, 16000)
+    body = wav.read_bytes()
+
+    req = urllib.request.Request(
+        f"{server}/transcribe", data=body, method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        out = json.loads(r.read())
+    assert "text" in out and "language" in out
+
+
+def test_concurrent_requests_batched(server, tmp_path, rng):
+    from test_audio_io import write_wav_pcm16
+
+    wav = tmp_path / "c.wav"
+    write_wav_pcm16(wav, rng.standard_normal(16000) * 0.1, 16000)
+    body = wav.read_bytes()
+
+    results = []
+
+    def hit():
+        req = urllib.request.Request(
+            f"{server}/transcribe", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            results.append(json.loads(r.read()))
+
+    threads = [threading.Thread(target=hit) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 4
+    assert all("text" in r for r in results)
+    # identical audio -> identical transcription regardless of batching
+    assert len({r["text"] for r in results}) == 1
