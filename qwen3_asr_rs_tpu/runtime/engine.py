@@ -79,6 +79,7 @@ class AsrEngine:
         tokenizer: Optional[AsrTokenizer] = None,
         quantize: Optional[str] = None,
         unroll_decode: bool = False,
+        mesh=None,
     ):
         model_dir = Path(model_dir) if model_dir is not None else None
         if config is None:
@@ -102,6 +103,33 @@ class AsrEngine:
             self.dec_params = quantize_decoder_params(self.dec_params)
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
+
+        # Multi-chip: shard the parameters over a (dp, tp) mesh; GSPMD
+        # propagates the shardings through the fused graph and inserts
+        # the collectives (Megatron TP for the decoder, TP-when-heads-
+        # divide for the encoder). The reference has no multi-device
+        # path at all (SURVEY.md §2.3).
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import (
+                decoder_param_specs,
+                encoder_param_specs,
+                shard_params,
+            )
+
+            tp = mesh.shape.get("tp", 1)
+            if quantize is not None:
+                raise ValueError("mesh + quantize not yet supported")
+            self.enc_params = shard_params(
+                self.enc_params, mesh,
+                encoder_param_specs(
+                    config.audio.encoder_attention_heads, tp
+                ),
+            )
+            self.dec_params = shard_params(
+                self.dec_params, mesh, decoder_param_specs()
+            )
+            logger.info("Parameters sharded over mesh %s", dict(mesh.shape))
 
         if tokenizer is None:
             tokenizer = AsrTokenizer.from_dir(model_dir)

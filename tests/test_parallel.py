@@ -50,6 +50,41 @@ def test_tp_sharded_decoder_matches_single_device():
 
 
 @requires_8
+def test_mesh_sharded_engine_matches_single_device(rng):
+    """Full fused inference graph under GSPMD == single-device tokens."""
+    import dataclasses
+
+    from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+    from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+    from test_engine_e2e import MockTokenizer
+
+    cfg = tiny_test_config()
+    text = dataclasses.replace(cfg.text, vocab_size=151936)
+    cfg = dataclasses.replace(
+        cfg,
+        thinker_config=dataclasses.replace(cfg.thinker_config,
+                                           text_config=text),
+    )
+    enc_params = init_encoder_params(cfg.audio, dtype=jnp.float32)
+    dec_params = init_decoder_params(cfg.text, dtype=jnp.float32)
+
+    def engine(mesh):
+        return AsrEngine(
+            model_dir=None, dtype=jnp.float32, max_new_tokens=4,
+            chunk_buckets=(2,), config=cfg,
+            params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+            mesh=mesh,
+        )
+
+    samples = (rng.standard_normal(20000) * 0.1).astype(np.float32)
+    single = engine(None).transcribe_samples(samples)
+    mesh = make_mesh(n_devices=8,
+                     tp_divisor_of=cfg.text.num_key_value_heads)
+    sharded = engine(mesh).transcribe_samples(samples)
+    assert sharded.raw_output == single.raw_output
+
+
+@requires_8
 def test_dryrun_multichip_entry():
     import sys
 
