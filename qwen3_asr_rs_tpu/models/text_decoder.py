@@ -340,6 +340,115 @@ class TextDecoder:
 
         Returns (hidden, k_fresh (B, Hkv, D), v_fresh (B, Hkv, D)).
         """
+        s_max = k_lay.shape[1]
+        live = jnp.arange(s_max)[None, :] < kv_valid[:, None]
+        return self._decode_layer_masked(layer, h, cos, sin, k_lay, v_lay,
+                                         live)
+
+    # ------------------------------------------------------------------ #
+    # right-aligned batch layout: every example ENDS at slot P; example b
+    # occupies slots [kv_start[b], P). All decode writes then share one
+    # scalar slot (P + step) -> dynamic_update_slice instead of a batched
+    # scatter that copies the slab.
+
+    def prefill_aligned(
+        self,
+        params: PyTree,
+        hidden,     # (B, P, hidden), right-aligned with left garbage
+        kv_start,   # (B,) int32: first live slot per example
+        cache: KVCache,
+    ):
+        """Right-aligned prefill. Returns (logits at slot P-1, cache)."""
+        b, p, _ = hidden.shape
+        slots = jnp.arange(p)
+        positions = jnp.maximum(slots[None, :] - kv_start[:, None], 0)
+        cos, sin = self.rotary.lookup_batch(positions)
+
+        def body(h, xs):
+            layer, k_c, v_c = xs
+            h, k_c, v_c = self._prefill_layer_aligned(
+                layer, h, cos, sin, k_c, v_c, kv_start
+            )
+            return h, (k_c, v_c)
+
+        hidden, (k, v) = jax.lax.scan(
+            body, hidden, (params["layers"], cache.k, cache.v)
+        )
+        return (
+            self.logits(params, hidden[:, -1:])[:, 0],
+            KVCache(k=k, v=v),
+        )
+
+    def _prefill_layer_aligned(self, layer, x, cos, sin, k_cache, v_cache,
+                               kv_start):
+        cfg = self.cfg
+        residual = x
+        h = rms_norm(x, layer["input_ln_w"], cfg.rms_norm_eps)
+        q = _qkv(layer, "q", h, cfg.num_attention_heads, cfg.head_dim)
+        k = _qkv(layer, "k", h, cfg.num_key_value_heads, cfg.head_dim)
+        v = _qkv(layer, "v", h, cfg.num_key_value_heads, cfg.head_dim)
+        q = rms_norm(q, layer["q_norm_w"], cfg.rms_norm_eps)
+        k = rms_norm(k, layer["k_norm_w"], cfg.rms_norm_eps)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, 0, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, 0, 0, 0)
+        )
+        attn = attention(q, k, v, causal=True, kv_start=kv_start)
+        b, s, _, _ = attn.shape
+        attn = attn.reshape(b, s, cfg.num_attention_heads * cfg.head_dim)
+        x = residual + _linear(layer, "o_w", attn)
+        residual = x
+        h = rms_norm(x, layer["post_ln_w"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(_linear(layer, "gate_w", h))
+        up = _linear(layer, "up_w", h)
+        return residual + _linear(layer, "down_w", gate * up), k_cache, v_cache
+
+    def decode_step_aligned(
+        self,
+        params: PyTree,
+        token_ids,  # (B,) int32
+        slot,       # SCALAR int32: this token's slot (shared, == P + step)
+        kv_start,   # (B,) int32
+        cache: KVCache,
+    ):
+        """Right-aligned decode step: shared write slot, per-example
+        positions/masks. Returns (logits (B, V), cache)."""
+        b = token_ids.shape[0]
+        hidden = self.embed(params, token_ids)[:, None, :]
+        positions = (slot - kv_start)[:, None]  # (B, 1)
+        cos, sin = self.rotary.lookup_batch(positions)
+
+        s_max = cache.max_len
+        slot_idx = jnp.arange(s_max)[None, :]
+        live = (slot_idx >= kv_start[:, None]) & (slot_idx < slot)
+        # reuse the fresh-KV layer with a precomputed boolean mask
+        def body(h, xs):
+            layer, k_lay, v_lay = xs
+            h, k_f, v_f = self._decode_layer_masked(
+                layer, h, cos, sin, k_lay, v_lay, live
+            )
+            return h, (k_f, v_f)
+
+        hidden, (ks, vs) = jax.lax.scan(
+            body, hidden, (params["layers"], cache.k, cache.v)
+        )
+        k_new = jax.lax.dynamic_update_slice(
+            cache.k, ks[:, :, None].astype(cache.k.dtype), (0, 0, slot, 0, 0)
+        )
+        v_new = jax.lax.dynamic_update_slice(
+            cache.v, vs[:, :, None].astype(cache.v.dtype), (0, 0, slot, 0, 0)
+        )
+        return (
+            self.logits(params, hidden)[:, 0],
+            KVCache(k=k_new, v=v_new),
+        )
+
+    def _decode_layer_masked(self, layer, h, cos, sin, k_lay, v_lay, live):
+        """_decode_layer with an arbitrary (B, S) boolean slab mask."""
         cfg = self.cfg
         b = h.shape[0]
         nq, nkv, hd = (
@@ -348,7 +457,6 @@ class TextDecoder:
             cfg.head_dim,
         )
         groups = nq // nkv
-
         residual = h
         x = rms_norm(h, layer["input_ln_w"], cfg.rms_norm_eps)
         q = _qkv(layer, "q", x, nq, hd)
@@ -358,18 +466,13 @@ class TextDecoder:
         k = rms_norm(k, layer["k_norm_w"], cfg.rms_norm_eps)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
-
         scale = hd ** -0.5
         qg = q.reshape(b, 1, nkv, groups, hd)
-        s_max = k_lay.shape[1]
-        slot_ok = (
-            jnp.arange(s_max)[None, :] < kv_valid[:, None]
-        )[:, None, None, None, :]  # (B,1,1,1,S)
         sc = jnp.einsum(
             "bqhgd,bkhd->bhgqk", qg, k_lay,
             preferred_element_type=jnp.float32,
         ) * scale
-        sc = jnp.where(slot_ok, sc, -1e9)
+        sc = jnp.where(live[:, None, None, None, :], sc, -1e9)
         s_self = jnp.einsum(
             "bqhgd,bqhd->bhgq", qg, k.astype(q.dtype),
             preferred_element_type=jnp.float32,
@@ -388,7 +491,6 @@ class TextDecoder:
         )
         out = out.reshape(b, 1, nq * hd).astype(h.dtype)
         h = residual + _linear(layer, "o_w", out)
-
         residual = h
         x = rms_norm(h, layer["post_ln_w"], cfg.rms_norm_eps)
         gate = jax.nn.silu(_linear(layer, "gate_w", x))

@@ -80,6 +80,22 @@ class RotaryTable:
         self.dim_map = jnp.asarray(dim_map)
         self._uniform = bool(np.all(dim_map == dim_map[0]))
 
+    def lookup_batch(self, position_ids):
+        """Per-example positions: (B, S) int -> cos/sin (B, S, head_dim).
+
+        Used by right-aligned batch layouts where each example's position
+        for a given slot differs (pos = slot - left_pad). Takes a single
+        position row per example, i.e. the caller asserts all MRoPE rows
+        are identical (true for ASR, src/inference.rs:259-266) — then the
+        dim map is irrelevant and a plain row gather is exact.
+        """
+        position_ids = jnp.asarray(position_ids)
+        cos_half = self.cos_table[position_ids]  # (B, S, half)
+        sin_half = self.sin_table[position_ids]
+        cos = jnp.concatenate([cos_half, cos_half], axis=-1)
+        sin = jnp.concatenate([sin_half, sin_half], axis=-1)
+        return cos, sin
+
     def lookup(self, position_ids):
         """cos/sin for 3-row (or 1-row) position ids.
 

@@ -219,26 +219,45 @@ class AsrEngine:
         p = token_ids.shape[1]
         tok_embeds = self.decoder.embed(dec_params, token_ids)  # (B, P, H)
         hidden_dim = tok_embeds.shape[-1]
-        # audio embedding for prompt position i lives at audio_embeds[i - 9]
-        shifted = jnp.zeros((b, p, hidden_dim), tok_embeds.dtype)
-        n_copy = min(audio_embeds.shape[1], p - AUDIO_OFFSET)
-        shifted = jax.lax.dynamic_update_slice(
-            shifted,
-            audio_embeds[:, :n_copy].astype(tok_embeds.dtype),
-            (0, AUDIO_OFFSET, 0),
-        )
-        pos = jnp.arange(p)
-        is_audio = (pos[None, :] >= AUDIO_OFFSET) & (
-            pos[None, :] < AUDIO_OFFSET + n_audio[:, None]
-        )
-        hidden = jnp.where(is_audio[..., None], shifted, tok_embeds)
+        aligned = b > 1  # right-aligned layout: see prefill_aligned
+        slots = jnp.arange(p)
+
+        if aligned:
+            # token_ids arrive right-aligned: example b spans
+            # [kv_start[b], P). Audio tokens sit at kv_start + 9 + i.
+            kv_start = (p - true_len).astype(jnp.int32)
+            rel = slots[None, :] - (kv_start[:, None] + AUDIO_OFFSET)
+            is_audio = (rel >= 0) & (rel < n_audio[:, None])
+            idx = jnp.clip(rel, 0, audio_embeds.shape[1] - 1)
+            gathered = jnp.take_along_axis(
+                audio_embeds.astype(tok_embeds.dtype), idx[..., None], axis=1
+            )
+            hidden = jnp.where(is_audio[..., None], gathered, tok_embeds)
+        else:
+            # left-aligned single utterance: audio at the static offset 9
+            shifted = jnp.zeros((b, p, hidden_dim), tok_embeds.dtype)
+            n_copy = min(audio_embeds.shape[1], p - AUDIO_OFFSET)
+            shifted = jax.lax.dynamic_update_slice(
+                shifted,
+                audio_embeds[:, :n_copy].astype(tok_embeds.dtype),
+                (0, AUDIO_OFFSET, 0),
+            )
+            is_audio = (slots[None, :] >= AUDIO_OFFSET) & (
+                slots[None, :] < AUDIO_OFFSET + n_audio[:, None]
+            )
+            hidden = jnp.where(is_audio[..., None], shifted, tok_embeds)
 
         # --- prefill
         s_max = p + self.max_new_tokens + 1
         cache = KVCache.zeros(cfg.text, b, s_max, dtype=self.dtype)
-        logits, cache = self.decoder.prefill(
-            dec_params, hidden, pos, cache, true_len
-        )  # (B, V)
+        if aligned:
+            logits, cache = self.decoder.prefill_aligned(
+                dec_params, hidden, kv_start, cache
+            )
+        else:
+            logits, cache = self.decoder.prefill(
+                dec_params, hidden, slots, cache, true_len[0]
+            )
 
         # --- greedy decode loop, fully on device, per-example EOS
         max_new = self.max_new_tokens
@@ -260,14 +279,16 @@ class AsrEngine:
             out_buf = out_buf.at[barange, n_gen].set(
                 jnp.where(newly_done, keep, tok)
             )
-            pos_vec = true_len + n_gen  # this token's slot per example
             n_gen = jnp.where(newly_done, n_gen, n_gen + 1)
-            # B == 1: collapse to a scalar position so the cache write is a
-            # dynamic_update_slice instead of a (slower) batched scatter.
-            pos_arg = pos_vec[0] if b == 1 else pos_vec
-            logits, cache = self.decoder.decode_step(
-                dec_params, tok, pos_arg, cache
-            )
+            if aligned:
+                # all examples write the SAME slot: P + step
+                logits, cache = self.decoder.decode_step_aligned(
+                    dec_params, tok, jnp.int32(p) + step, kv_start, cache
+                )
+            else:
+                logits, cache = self.decoder.decode_step(
+                    dec_params, tok, true_len[0] + step, cache
+                )
             return cache, logits, n_gen, newly_done, out_buf, step + 1
 
         state = (
@@ -343,7 +364,12 @@ class AsrEngine:
                     "prompt exceeds bucket; language string too long"
                 )
             ids = np.zeros(p_bucket, np.int32)
-            ids[: len(prompt)] = prompt
+            if b > 1:
+                # right-aligned layout (see prefill_aligned): all prompts
+                # END at slot p_bucket, so decode writes share one slot
+                ids[p_bucket - len(prompt):] = prompt
+            else:
+                ids[: len(prompt)] = prompt
             waves.append(wave)
             n_trues.append(n_true)
             token_ids.append(ids)
