@@ -408,35 +408,26 @@ class AsrEngine:
         audio_path: str | Path,
         language: Optional[str] = None,
         segment_seconds: Optional[float] = None,
+        overlap_seconds: float = 2.0,
     ) -> TranscribeResult:
         """Transcribe an audio file of any length.
 
-        Audio longer than the largest bucket is split into segments that are
-        transcribed sequentially and concatenated (long-form mode).
+        Audio longer than the largest bucket is transcribed in overlapped
+        segments stitched at the transcript level (runtime/longform.py).
         """
         samples = load_audio(audio_path, 16000)
         max_seconds = segment_seconds or self.max_bucket_seconds
-        max_samples = int(max_seconds * 16000)
-        if len(samples) <= max_samples:
+        if len(samples) <= int(max_seconds * 16000):
             return self.transcribe_samples(samples, language)
 
         logger.info(
-            "Long-form audio (%.1fs): segmenting at %.0fs",
+            "Long-form audio (%.1fs): overlapped segments of %.0fs",
             len(samples) / 16000, max_seconds,
         )
-        texts = []
-        langs = []
-        raws = []
-        for start in range(0, len(samples), max_samples):
-            seg = samples[start : start + max_samples]
-            if len(seg) < 400:  # below one STFT window
-                break
-            r = self.transcribe_samples(seg, language)
-            texts.append(r.text)
-            langs.append(r.language)
-            raws.append(r.raw_output)
-        return TranscribeResult(
-            text=" ".join(t for t in texts if t),
-            language=langs[0] if langs else "unknown",
-            raw_output="\n".join(raws),
+        from .longform import transcribe_long
+
+        return transcribe_long(
+            self, samples, language,
+            segment_seconds=segment_seconds,
+            overlap_seconds=overlap_seconds,
         )
