@@ -135,15 +135,11 @@ class TextDecoder:
         sin,
         k_cache,
         v_cache,
-        *,
-        write_pos,
-        kv_valid,
-        prefill: bool,
     ):
-        """One decoder layer. Returns (hidden, k_cache, v_cache).
+        """One prefill/full-forward layer. Returns (hidden, k_cache, v_cache).
 
-        write_pos: scalar (shared across batch) or (B,) per-example slot
-        (batched decode — each utterance sits at a different length).
+        Writes the fresh K/V at slot 0..S and attends causally over the
+        fresh keys (decode steps use _decode_layer* instead).
         """
         cfg = self.cfg
         residual = x
@@ -160,30 +156,14 @@ class TextDecoder:
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
 
-        # Write the fresh K/V into the slab at write_pos.
-        if jnp.ndim(write_pos) == 0:
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, write_pos, 0, 0)
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, write_pos, 0, 0)
-            )
-        else:
-            # per-example slot scatter (decode, S == 1)
-            b = x.shape[0]
-            k_cache = k_cache.at[jnp.arange(b), write_pos].set(
-                k[:, 0].astype(k_cache.dtype)
-            )
-            v_cache = v_cache.at[jnp.arange(b), write_pos].set(
-                v[:, 0].astype(v_cache.dtype)
-            )
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, 0, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, 0, 0, 0)
+        )
 
-        if prefill:
-            attn = attention(q, k, v, causal=True)
-        else:
-            attn = attention(
-                q, k_cache, v_cache, kv_valid=kv_valid, impl="dense"
-            )
+        attn = attention(q, k, v, causal=True)
 
         b, s, _, _ = attn.shape
         attn = attn.reshape(b, s, cfg.num_attention_heads * cfg.head_dim)
@@ -197,22 +177,19 @@ class TextDecoder:
         h = _linear(layer, "down_w", gate * up)
         return residual + h, k_cache, v_cache
 
-    def _run_layers(self, params, hidden, cos, sin, cache, *, write_pos,
-                    kv_valid, prefill: bool):
+    def _run_layers(self, params, hidden, cos, sin, cache):
         if self.unroll_layers:
             # Unrolled python loop: each layer's weights are static slices
-            # of the stacked arrays, which XLA fuses into the matmuls with
-            # no copy — measured ~1.5x faster HBM weight streaming in the
-            # decode loop than lax.scan on v5e. Costs compile time, so it
-            # is the default for decode-step-shaped graphs only.
+            # of the stacked arrays, which XLA fuses into the consumers
+            # with no copy. Slightly better weight streaming at ~5x the
+            # compile time; opt-in.
             num_layers = cache.k.shape[0]
             k_all, v_all = cache.k, cache.v
             h = hidden
             for i in range(num_layers):
                 layer = {k: v[i] for k, v in params["layers"].items()}
                 h, k_c, v_c = self._layer(
-                    layer, h, cos, sin, k_all[i], v_all[i],
-                    write_pos=write_pos, kv_valid=kv_valid, prefill=prefill,
+                    layer, h, cos, sin, k_all[i], v_all[i]
                 )
                 k_all = k_all.at[i].set(k_c)
                 v_all = v_all.at[i].set(v_c)
@@ -220,10 +197,7 @@ class TextDecoder:
 
         def body(h, xs):
             layer, k_c, v_c = xs
-            h, k_c, v_c = self._layer(
-                layer, h, cos, sin, k_c, v_c,
-                write_pos=write_pos, kv_valid=kv_valid, prefill=prefill,
-            )
+            h, k_c, v_c = self._layer(layer, h, cos, sin, k_c, v_c)
             return h, (k_c, v_c)
 
         hidden, (k, v) = jax.lax.scan(
@@ -268,10 +242,7 @@ class TextDecoder:
         cache slots are overwritten by subsequent decode steps.
         """
         cos, sin = self.rotary.lookup(position_ids)
-        hidden, cache = self._run_layers(
-            params, hidden, cos, sin, cache,
-            write_pos=jnp.int32(0), kv_valid=None, prefill=True,
-        )
+        hidden, cache = self._run_layers(params, hidden, cos, sin, cache)
         if jnp.ndim(true_len) == 0:
             last = jax.lax.dynamic_slice_in_dim(
                 hidden, true_len - 1, 1, axis=1
@@ -505,10 +476,7 @@ class TextDecoder:
         b, s, _ = hidden.shape
         cos, sin = self.rotary.lookup(position_ids)
         cache = KVCache.zeros(self.cfg, b, s, dtype=hidden.dtype)
-        hidden, _ = self._run_layers(
-            params, hidden, cos, sin, cache,
-            write_pos=jnp.int32(0), kv_valid=None, prefill=True,
-        )
+        hidden, _ = self._run_layers(params, hidden, cos, sin, cache)
         return self.logits(params, hidden)
 
 
