@@ -195,17 +195,16 @@ class LogMelFrontend:
             jnp.asarray(wave),
             jnp.int32(n_true),
             self.mel_filters,
-            self.window,
             self.n_fft,
             self.hop_length,
         )
         return mel, n_true
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _extract_jit(wave, n_true_frames, mel_filters, window, n_fft, hop_length):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _extract_jit(wave, n_true_frames, mel_filters, n_fft, hop_length):
     return log_mel_from_padded(
-        wave, n_true_frames, mel_filters, window, n_fft, hop_length
+        wave, n_true_frames, mel_filters, n_fft, hop_length
     )
 
 
@@ -216,13 +215,14 @@ def _dft_consts(n_fft: int):
     return dft_matrices(n_fft)
 
 
-def log_mel_from_padded(wave, n_true_frames, mel_filters, window,
+def log_mel_from_padded(wave, n_true_frames, mel_filters,
                         n_fft: int = 400, hop_length: int = 160):
     """Core traced computation (also reusable inside larger jit graphs).
 
     ``wave`` must already carry the reflect padding from ``pad_waveform``;
     its length determines the static frame count
-    ``(len(wave) - 2*(n_fft//2)) // hop``.
+    ``(len(wave) - 2*(n_fft//2)) // hop``. The Hann window is folded into
+    the host-side DFT constants.
     """
     pad = n_fft // 2
     num_frames = (wave.shape[0] - 2 * pad) // hop_length

@@ -207,7 +207,7 @@ class AsrEngine:
 
         mel = jax.vmap(
             lambda w, n: log_mel_from_padded(
-                w, n, self.frontend.mel_filters, self.frontend.window
+                w, n, self.frontend.mel_filters
             )
         )(wave, n_true_frames)  # (B, mels, F)
         audio_embeds, n_audio = jax.vmap(

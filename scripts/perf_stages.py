@@ -53,9 +53,7 @@ def main():
     wave_d = jnp.asarray(wave)
 
     mel_fn = jax.jit(
-        lambda w, n: log_mel_from_padded(
-            w, n, frontend.mel_filters, frontend.window
-        )
+        lambda w, n: log_mel_from_padded(w, n, frontend.mel_filters)
     )
     t_mel = timeit(mel_fn, wave_d, jnp.int32(n_true))
     print(f"mel: {t_mel*1000:.2f} ms", file=sys.stderr)
