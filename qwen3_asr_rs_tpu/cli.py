@@ -105,11 +105,19 @@ def main(argv=None) -> int:
         model_path, dtype=dtype, max_new_tokens=max_new, quantize=quantize
     )
 
+    def finish():
+        metrics_path = os.environ.get("ASR_METRICS")
+        if metrics_path:
+            from .utils.tracing import dump_metrics
+
+            dump_metrics(metrics_path)
+
     if len(audio_files) == 1:
         logger.info("Transcribing: %s", audio_files[0])
         result = engine.transcribe(audio_files[0], language)
         print(f"Language: {result.language}")
         print(f"Text: {result.text}")
+        finish()
         return 0
 
     logger.info("Transcribing %d files as one batch", len(audio_files))
@@ -121,6 +129,7 @@ def main(argv=None) -> int:
         print(f"File: {f}")
         print(f"Language: {result.language}")
         print(f"Text: {result.text}")
+    finish()
     return 0
 
 

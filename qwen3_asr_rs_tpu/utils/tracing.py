@@ -41,6 +41,28 @@ class Timings:
 GLOBAL_TIMINGS = Timings()
 
 
+def dump_metrics(path: str | None = None) -> dict:
+    """Export accumulated stage metrics as a dict (and JSON file if asked).
+
+    The reference has no metrics export (SURVEY.md §5); this serializes
+    per-stage totals/counts for scraping. The CLI honors ``ASR_METRICS=<path>``.
+    """
+    import json
+
+    data = {
+        stage: {
+            "total_ms": round(GLOBAL_TIMINGS.totals[stage] * 1000, 3),
+            "count": GLOBAL_TIMINGS.counts[stage],
+        }
+        for stage in GLOBAL_TIMINGS.totals
+    }
+    if path:
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(data, f, indent=2)
+        logger.info("metrics written to %s", path)
+    return data
+
+
 @contextlib.contextmanager
 def stage_timer(stage: str, timings: Timings | None = None) -> Iterator[None]:
     t0 = time.perf_counter()

@@ -63,12 +63,21 @@ def test_cli_multi_file_batch(model_dir, capsys, monkeypatch):
     assert out.count("Text:") == 2
 
 
-def test_cli_forced_language_on_fixture(model_dir, capsys, monkeypatch):
+def test_cli_forced_language_on_fixture(model_dir, capsys, monkeypatch,
+                                        tmp_path):
     monkeypatch.setenv("ASR_MAX_NEW_TOKENS", "3")
     monkeypatch.setenv("ASR_DTYPE", "float32")
+    metrics = tmp_path / "metrics.json"
+    monkeypatch.setenv("ASR_METRICS", str(metrics))
     from qwen3_asr_rs_tpu.cli import main
 
     rc = main([str(model_dir), str(FIXTURES[0]), "english"])
     assert rc == 0
     out = capsys.readouterr().out.strip().split("\n")
     assert out[0] == "Language: forced"
+    # metrics export (ASR_METRICS)
+    import json
+
+    data = json.loads(metrics.read_text())
+    assert "device_dispatch" in data
+    assert data["device_dispatch"]["count"] >= 1
