@@ -338,9 +338,20 @@ class AsrEngine:
         per-example EOS. This is the serving fast path the reference has
         no analog of: decode weight streaming amortizes across the batch.
         """
-        b = len(samples_list)
+        n_real = len(samples_list)
         if languages is None:
-            languages = [None] * b
+            languages = [None] * n_real
+        # batch-size bucketing: pad to the next power of two (duplicating
+        # the last utterance) so a serving process compiles O(log B)
+        # batched graphs instead of one per exact batch size
+        b = 1
+        while b < n_real:
+            b *= 2
+        if b > n_real:
+            samples_list = list(samples_list) + [samples_list[-1]] * (
+                b - n_real
+            )
+            languages = list(languages) + [languages[-1]] * (b - n_real)
         cf = self.config.audio.chunk_frames
         tpc = self.config.audio.tokens_per_chunk
         from ..config import feat_extract_output_length
@@ -393,14 +404,14 @@ class AsrEngine:
             n_gen = np.asarray(n_gen)
 
         results = []
-        for i, language in enumerate(languages):
+        for i, language in enumerate(languages[:n_real]):
             generated = out_buf[i, : int(n_gen[i])].tolist()
             raw = self.tokenizer.decode(generated)
             lang, text = parse_asr_output(raw, language is not None)
             results.append(
                 TranscribeResult(text=text, language=lang, raw_output=raw)
             )
-        logger.info("Generated %s tokens", n_gen.tolist())
+        logger.info("Generated %s tokens", n_gen[:n_real].tolist())
         return results
 
     def transcribe(

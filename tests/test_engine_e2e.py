@@ -169,6 +169,15 @@ def test_engine_batch_matches_single(rng):
     batch = eng.transcribe_batch([a, b])
     assert [r.raw_output for r in batch] == [r.raw_output for r in singles]
 
+    # odd batch sizes are padded up to the next power of two and the
+    # padding results dropped
+    batch3 = eng.transcribe_batch([a, b, a])
+    assert len(batch3) == 3
+    assert (4, 4) in eng._graphs  # compiled the padded batch-4 graph
+    assert [r.raw_output for r in batch3] == [
+        singles[0].raw_output, singles[1].raw_output, singles[0].raw_output,
+    ]
+
 
 def test_parse_asr_output():
     assert parse_asr_output("language English<asr_text>Hello.", False) == (
