@@ -278,16 +278,8 @@ class TextDecoder:
             cos, sin = c[:, None, :], s[:, None, :]  # (B, 1, D)
         # stale-slab validity: slots [0, pos) hold earlier tokens
         kv_valid = jnp.broadcast_to(pos, (b,)).astype(jnp.int32)
-
-        def body(h, xs):
-            layer, k_lay, v_lay = xs
-            h, k_f, v_f = self._decode_layer(
-                layer, h, cos, sin, k_lay, v_lay, kv_valid
-            )
-            return h, (k_f, v_f)
-
-        hidden, (ks, vs) = jax.lax.scan(
-            body, hidden, (params["layers"], cache.k, cache.v)
+        hidden, ks, vs = self._decode_scan(
+            params, hidden, cos, sin, cache, None, kv_valid
         )
         # ks/vs: (L, B, Hkv, D) — one slab write for all layers
         ks = ks.astype(cache.k.dtype)
@@ -306,15 +298,104 @@ class TextDecoder:
         cache = KVCache(k=k_new, v=v_new)
         return self.logits(params, hidden)[:, 0], cache
 
-    def _decode_layer(self, layer, h, cos, sin, k_lay, v_lay, kv_valid):
-        """Decode-step layer: attention = stale slab + explicit self-term.
+    def _decode_attn_impl(self, s_max: int) -> str:
+        """Choose the decode-attention implementation for a slab size.
 
-        Returns (hidden, k_fresh (B, Hkv, D), v_fresh (B, Hkv, D)).
+        The fused Pallas kernel only transfers/processes LIVE cache blocks
+        (dynamic trip count), so it wins when the slab is much larger than
+        the typical live length — i.e. big generation caps. Below the
+        threshold the XLA einsum path wins on kernel-launch overhead
+        (~37 us/launch measured on v5e).
         """
-        s_max = k_lay.shape[1]
-        live = jnp.arange(s_max)[None, :] < kv_valid[:, None]
-        return self._decode_layer_masked(layer, h, cos, sin, k_lay, v_lay,
-                                         live)
+        import os
+
+        impl = os.environ.get("ASR_DECODE_ATTN", "auto")
+        if impl == "auto":
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            return "kernel" if (on_tpu and s_max >= 1536) else "dense"
+        return impl
+
+    def _decode_scan(self, params, hidden, cos, sin, cache, kv_start,
+                     kv_end):
+        """Scan the decode layers; returns (hidden, ks, vs) fresh K/V.
+
+        kv_start: (B,) or None; kv_end: (B,) — live slab region per
+        example (exclusive of the current token, which is handled as an
+        explicit self-term).
+        """
+        impl = self._decode_attn_impl(cache.max_len)
+        if impl == "kernel":
+            from ..ops.pallas.decode_attention import decode_attention_dma
+
+            k_slabs, v_slabs = cache.k, cache.v  # closed over: no slicing
+
+            def body(h, xs):
+                layer, l_idx = xs
+                h, k_f, v_f = self._decode_layer_kernel(
+                    layer, l_idx, h, cos, sin, k_slabs, v_slabs,
+                    kv_start, kv_end, decode_attention_dma,
+                )
+                return h, (k_f, v_f)
+
+            num_layers = cache.k.shape[0]
+            hidden, (ks, vs) = jax.lax.scan(
+                body, hidden,
+                (params["layers"], jnp.arange(num_layers, dtype=jnp.int32)),
+            )
+            return hidden, ks, vs
+
+        def body(h, xs):
+            layer, k_lay, v_lay = xs
+            s_max = k_lay.shape[1]
+            live = jnp.arange(s_max)[None, :] < kv_end[:, None]
+            if kv_start is not None:
+                live = live & (
+                    jnp.arange(s_max)[None, :] >= kv_start[:, None]
+                )
+            h, k_f, v_f = self._decode_layer_masked(
+                layer, h, cos, sin, k_lay, v_lay, live
+            )
+            return h, (k_f, v_f)
+
+        hidden, (ks, vs) = jax.lax.scan(
+            body, hidden, (params["layers"], cache.k, cache.v)
+        )
+        return hidden, ks, vs
+
+    def _decode_layer_kernel(self, layer, l_idx, h, cos, sin, k_slabs,
+                             v_slabs, kv_start, kv_end, attn_fn):
+        """Decode layer using the fused Pallas slab-attention kernel."""
+        cfg = self.cfg
+        b = h.shape[0]
+        nq, nkv, hd = (
+            cfg.num_attention_heads,
+            cfg.num_key_value_heads,
+            cfg.head_dim,
+        )
+        residual = h
+        x = rms_norm(h, layer["input_ln_w"], cfg.rms_norm_eps)
+        q = _qkv(layer, "q", x, nq, hd)
+        k = _qkv(layer, "k", x, nkv, hd)
+        v = _qkv(layer, "v", x, nkv, hd)
+        q = rms_norm(q, layer["q_norm_w"], cfg.rms_norm_eps)
+        k = rms_norm(k, layer["k_norm_w"], cfg.rms_norm_eps)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+
+        out = attn_fn(
+            q[:, 0], k_slabs, v_slabs,
+            k[:, 0].astype(k_slabs.dtype), v[:, 0].astype(v_slabs.dtype),
+            l_idx, kv_start, kv_end,
+            interpret=_interpret_pallas(),
+        )  # (B, Hq, D)
+        out = out.reshape(b, 1, nq * hd).astype(h.dtype)
+        h = residual + _linear(layer, "o_w", out)
+        residual = h
+        x = rms_norm(h, layer["post_ln_w"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(_linear(layer, "gate_w", x))
+        up = _linear(layer, "up_w", x)
+        h = residual + _linear(layer, "down_w", gate * up)
+        return h, k[:, 0], v[:, 0]
 
     # ------------------------------------------------------------------ #
     # right-aligned batch layout: every example ENDS at slot P; example b
@@ -393,19 +474,10 @@ class TextDecoder:
         positions = (slot - kv_start)[:, None]  # (B, 1)
         cos, sin = self.rotary.lookup_batch(positions)
 
-        s_max = cache.max_len
-        slot_idx = jnp.arange(s_max)[None, :]
-        live = (slot_idx >= kv_start[:, None]) & (slot_idx < slot)
-        # reuse the fresh-KV layer with a precomputed boolean mask
-        def body(h, xs):
-            layer, k_lay, v_lay = xs
-            h, k_f, v_f = self._decode_layer_masked(
-                layer, h, cos, sin, k_lay, v_lay, live
-            )
-            return h, (k_f, v_f)
-
-        hidden, (ks, vs) = jax.lax.scan(
-            body, hidden, (params["layers"], cache.k, cache.v)
+        b_arr = jnp.broadcast_to(slot, (b,)).astype(jnp.int32)
+        hidden, ks, vs = self._decode_scan(
+            params, hidden, cos, sin, cache, kv_start.astype(jnp.int32),
+            b_arr,
         )
         k_new = jax.lax.dynamic_update_slice(
             cache.k, ks[:, :, None].astype(cache.k.dtype), (0, 0, slot, 0, 0)

@@ -1,0 +1,463 @@
+"""Fused GQA decode attention over the KV slab (Pallas/Mosaic TPU).
+
+One decode step attends a single query token against the cache slab plus
+the freshly-computed self K/V. Two properties make this a kernel instead
+of einsums:
+
+  * **Dead-block skipping.** The slab is sized for the generation cap
+    (prompt + max_new_tokens, e.g. ~4700 slots at the reference's 4096
+    cap) but only `end` slots are live. XLA reads the whole slab every
+    step; here the block index map CLAMPS past the last live block, so
+    Pallas re-addresses the same block (no new DMA) and the body skips —
+    decode attention cost scales with the LIVE length, not the cap.
+  * **No scan-slice copies.** The kernel takes the full stacked
+    (L, B, S, Hkv, D) slab plus the layer index as a scalar-prefetch
+    argument, so calling it inside the `lax.scan` over layers does not
+    slice (slicing a scanned operand into a custom call materializes a
+    copy of the whole layer slab).
+
+Semantics (identical to the dense path in text_decoder._decode_layer_masked):
+  out[b,h] = softmax_k([scores(q_bh, K[l, b, start_b:end_b]),
+                        score(q_bh, k_self_b)]) @ [V; v_self]
+with Hq = G * Hkv query heads grouped onto kv heads.
+
+All in-kernel dots run in f32 — the kernel is HBM-bound, and Mosaic (this
+jax version) miscompiles mixed bf16->f32 accumulation here
+('vector.broadcast' verification error).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -1e9
+INIT_M = -1e30
+
+
+def _kernel(
+    layer_ref,   # (1,) int32 scalar prefetch
+    start_ref,   # (B,) int32 scalar prefetch
+    end_ref,     # (B,) int32 scalar prefetch
+    q_ref,       # (1, Hq, D)
+    k_self_ref,  # (1, Hkv, D)
+    v_self_ref,  # (1, Hkv, D)
+    k_ref,       # (1, 1, BS, Hkv, D)
+    v_ref,       # (1, 1, BS, Hkv, D)
+    o_ref,       # (1, Hq, D)
+    m_scr,       # (Hq, 128) f32 (col 0 live)
+    l_scr,       # (Hq, 128) f32 (col 0 live)
+    acc_scr,     # (Hq, D) f32
+    *,
+    scale: float,
+    block_s: int,
+    hkv: int,
+    groups: int,
+    s_max: int,
+):
+    b = pl.program_id(0)
+    si = pl.program_id(1)
+    ns = pl.num_programs(1)
+    hq = hkv * groups
+
+    @pl.when(si == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, INIT_M)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)  # (Hq, D)
+
+    # live: this block contains at least one slot in [start, end)
+    block_live = (si * block_s < end_ref[b]) & (
+        (si + 1) * block_s > start_ref[b]
+    )
+
+    @pl.when(block_live)
+    def _process():
+        rows = []
+        for h in range(hkv):
+            qh = q[h * groups : (h + 1) * groups]         # (G, D)
+            kh = k_ref[0, 0, :, h, :].astype(jnp.float32)  # (BS, D)
+            rows.append(
+                jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        s = jnp.concatenate(rows, axis=0) * scale  # (Hq, BS)
+
+        slot = si * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (hq, block_s), 1
+        )
+        bad = (
+            (slot < start_ref[b])
+            | (slot >= end_ref[b])
+            | (slot >= s_max)
+        )
+        s = jnp.where(bad, MASK_VALUE, s)
+
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # (Hq, BS)
+        l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(p, 1, keepdims=True)
+
+        # zero OOB V rows (the last block may overhang s_max; 0 * garbage
+        # would poison the matmul)
+        vrow_ok = (
+            si * block_s
+            + jax.lax.broadcasted_iota(jnp.int32, (block_s, 1), 0)
+        ) < s_max
+        pv_rows = []
+        for h in range(hkv):
+            ph = p[h * groups : (h + 1) * groups]
+            vh = jnp.where(
+                vrow_ok, v_ref[0, 0, :, h, :].astype(jnp.float32), 0.0
+            )
+            pv_rows.append(
+                jax.lax.dot_general(
+                    ph, vh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        acc_scr[:] = acc_scr[:] * corr + jnp.concatenate(pv_rows, axis=0)
+        m_scr[:, :1] = m_new
+
+    @pl.when(si == ns - 1)
+    def _finish():
+        # fold in the self token, then normalize
+        ks = k_self_ref[0].astype(jnp.float32)  # (Hkv, D)
+        vs = v_self_ref[0].astype(jnp.float32)
+        s_rows = []
+        for h in range(hkv):
+            qh = q[h * groups : (h + 1) * groups]
+            s_rows.append(
+                jax.lax.dot_general(
+                    qh, ks[h : h + 1], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        s_self = jnp.concatenate(s_rows, axis=0) * scale  # (Hq, 1)
+        m_prev = m_scr[:, :1]
+        m_fin = jnp.maximum(m_prev, s_self)
+        corr = jnp.exp(m_prev - m_fin)
+        p_self = jnp.exp(s_self - m_fin)  # (Hq, 1)
+        l_fin = l_scr[:, :1] * corr + p_self
+        v_rows = []
+        for h in range(hkv):
+            v_rows.append(
+                jax.lax.dot_general(
+                    p_self[h * groups : (h + 1) * groups],
+                    vs[h : h + 1],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        acc_fin = acc_scr[:] * corr + jnp.concatenate(v_rows, axis=0)
+        o_ref[0] = (acc_fin / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_s", "interpret")
+)
+def decode_attention_slab(
+    q,        # (B, Hq, D)
+    k_slabs,  # (L, B, S, Hkv, D) — the FULL stacked cache
+    v_slabs,  # (L, B, S, Hkv, D)
+    k_self,   # (B, Hkv, D)
+    v_self,   # (B, Hkv, D)
+    layer,    # scalar int32: which layer's slab to read
+    start,    # (B,) int32 or None
+    end,      # (B,) int32 — exclusive upper bound of live slots
+    *,
+    scale: float | None = None,
+    block_s: int = 512,
+    interpret: bool = False,
+):
+    b, hq, d = q.shape
+    _, _, s_max, hkv, _ = k_slabs.shape
+    groups = hq // hkv
+    if scale is None:
+        scale = d ** -0.5
+    if start is None:
+        start = jnp.zeros((b,), jnp.int32)
+    start = start.astype(jnp.int32)
+    end = end.astype(jnp.int32)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    block_s = min(block_s, s_max)
+    ns = pl.cdiv(s_max, block_s)
+
+    def kv_index(bb, si, layer_ref, start_ref, end_ref):
+        # clamp past the last live block: Pallas re-addresses the same
+        # block (no fresh DMA), the kernel body skips the compute
+        last_live = jnp.maximum(
+            (end_ref[bb] + block_s - 1) // block_s - 1, 0
+        )
+        return (layer_ref[0], bb, jnp.minimum(si, last_live), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, ns),
+        in_specs=[
+            pl.BlockSpec((1, hq, d), lambda bb, si, *_: (bb, 0, 0)),
+            pl.BlockSpec((1, hkv, d), lambda bb, si, *_: (bb, 0, 0)),
+            pl.BlockSpec((1, hkv, d), lambda bb, si, *_: (bb, 0, 0)),
+            pl.BlockSpec((1, 1, block_s, hkv, d), kv_index),
+            pl.BlockSpec((1, 1, block_s, hkv, d), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, hq, d), lambda bb, si, *_: (bb, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, d), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _kernel,
+        scale=scale,
+        block_s=block_s,
+        hkv=hkv,
+        groups=groups,
+        s_max=s_max,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        interpret=interpret,
+    )(layer, start, end, q, k_self, v_self, k_slabs, v_slabs)
+
+
+def decode_attention(q, k_slab, v_slab, k_self, v_self, start, end,
+                     *, scale=None, block_s=512, interpret=False):
+    """Single-layer convenience wrapper (adds the layer axis)."""
+    return decode_attention_slab(
+        q, k_slab[None], v_slab[None], k_self, v_self,
+        jnp.int32(0), start, end,
+        scale=scale, block_s=block_s, interpret=interpret,
+    )
+
+
+# --------------------------------------------------------------------- #
+# Manual-DMA variant: double-buffered HBM->VMEM copies with a DYNAMIC
+# trip count, so only live blocks are ever transferred (the grid-based
+# version above still pays DMA for dead grid steps).
+# --------------------------------------------------------------------- #
+
+
+def _dma_kernel(
+    layer_ref,   # (1,) int32
+    start_ref,   # (B,) int32
+    end_ref,     # (B,) int32
+    q_ref,       # (1, Hq, D) VMEM
+    k_self_ref,  # (1, Hkv, D) VMEM
+    v_self_ref,  # (1, Hkv, D) VMEM
+    k_hbm,       # (L, B, S, Hkv, D) ANY/HBM
+    v_hbm,       # (L, B, S, Hkv, D) ANY/HBM
+    o_ref,       # (1, Hq, D) VMEM
+    k_buf,       # (2, BS, Hkv, D) VMEM scratch
+    v_buf,       # (2, BS, Hkv, D) VMEM scratch
+    sems,        # (2, 2) DMA semaphores
+    *,
+    scale: float,
+    block_s: int,
+    hkv: int,
+    groups: int,
+    s_max: int,
+):
+    b = pl.program_id(0)
+    hq = hkv * groups
+    layer = layer_ref[0]
+    start = start_ref[b]
+    end = end_ref[b]
+    q = q_ref[0].astype(jnp.float32)
+
+    def _write_out(m_prev, l_prev, acc):
+        ks = k_self_ref[0].astype(jnp.float32)
+        vs = v_self_ref[0].astype(jnp.float32)
+        s_rows = []
+        for h in range(hkv):
+            s_rows.append(
+                jax.lax.dot_general(
+                    q[h * groups : (h + 1) * groups], ks[h : h + 1],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        s_self = jnp.concatenate(s_rows, axis=0) * scale
+        m_fin = jnp.maximum(m_prev, s_self)
+        corr = jnp.exp(m_prev - m_fin)
+        p_self = jnp.exp(s_self - m_fin)
+        l_fin = l_prev * corr + p_self
+        v_rows = []
+        for h in range(hkv):
+            v_rows.append(
+                jax.lax.dot_general(
+                    p_self[h * groups : (h + 1) * groups], vs[h : h + 1],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        acc_fin = acc * corr + jnp.concatenate(v_rows, axis=0)
+        o_ref[0] = (acc_fin / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+
+
+
+    first_blk = start // block_s
+    n_blocks = jnp.maximum(pl.cdiv(end, block_s) - first_blk, 0)
+
+    def blk_start(i):
+        # unclamped nominal start; clamped for the DMA so the copy stays
+        # in bounds (masking below uses the clamped global indices)
+        return jnp.minimum((first_blk + i) * block_s, s_max - block_s)
+
+    def dma(slot, i, buf, hbm, sem_col):
+        return pltpu.make_async_copy(
+            hbm.at[layer, b, pl.ds(blk_start(i), block_s)],
+            buf.at[slot],
+            sems.at[slot, sem_col],
+        )
+
+    @pl.when(n_blocks > 0)
+    def _run():
+        dma(0, 0, k_buf, k_hbm, 0).start()
+        dma(0, 0, v_buf, v_hbm, 1).start()
+
+        def body(i, carry):
+            m_prev, l_prev, acc = carry
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _prefetch():
+                nxt = jax.lax.rem(i + 1, 2)
+                dma(nxt, i + 1, k_buf, k_hbm, 0).start()
+                dma(nxt, i + 1, v_buf, v_hbm, 1).start()
+
+            dma(slot, i, k_buf, k_hbm, 0).wait()
+            dma(slot, i, v_buf, v_hbm, 1).wait()
+
+            kh_all = k_buf[slot].astype(jnp.float32)  # (BS, Hkv, D)
+            vh_all = v_buf[slot].astype(jnp.float32)
+            rows = []
+            for h in range(hkv):
+                rows.append(
+                    jax.lax.dot_general(
+                        q[h * groups : (h + 1) * groups], kh_all[:, h, :],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            s = jnp.concatenate(rows, axis=0) * scale  # (Hq, BS)
+
+            gslot = blk_start(i) + jax.lax.broadcasted_iota(
+                jnp.int32, (hq, block_s), 1
+            )
+            nominal_lo = (first_blk + i) * block_s
+            bad = (
+                (gslot < jnp.maximum(start, nominal_lo))
+                | (gslot >= end)
+            )
+            s = jnp.where(bad, MASK_VALUE, s)
+
+            m_new = jnp.maximum(m_prev, jnp.max(s, 1, keepdims=True))
+            corr = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_prev * corr + jnp.sum(p, 1, keepdims=True)
+            pv = []
+            for h in range(hkv):
+                pv.append(
+                    jax.lax.dot_general(
+                        p[h * groups : (h + 1) * groups], vh_all[:, h, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            acc = acc * corr + jnp.concatenate(pv, axis=0)
+            return m_new, l_new, acc
+
+        m0 = jnp.full((hq, 1), INIT_M, jnp.float32)
+        l0 = jnp.zeros((hq, 1), jnp.float32)
+        a0 = jnp.zeros((hq, q.shape[-1]), jnp.float32)
+        m_fin, l_fin, acc = jax.lax.fori_loop(
+            0, n_blocks, body, (m0, l0, a0)
+        )
+        _write_out(m_fin, l_fin, acc)
+
+    @pl.when(n_blocks == 0)
+    def _self_only():
+        hq_ = hkv * groups
+        _write_out(
+            jnp.full((hq_, 1), INIT_M, jnp.float32),
+            jnp.zeros((hq_, 1), jnp.float32),
+            jnp.zeros((hq_, q.shape[-1]), jnp.float32),
+        )
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_s", "interpret")
+)
+def decode_attention_dma(
+    q,        # (B, Hq, D)
+    k_slabs,  # (L, B, S, Hkv, D)
+    v_slabs,  # (L, B, S, Hkv, D)
+    k_self,   # (B, Hkv, D)
+    v_self,   # (B, Hkv, D)
+    layer,    # scalar int32
+    start,    # (B,) int32 or None
+    end,      # (B,) int32
+    *,
+    scale: float | None = None,
+    block_s: int = 512,
+    interpret: bool = False,
+):
+    b, hq, d = q.shape
+    _, _, s_max, hkv, _ = k_slabs.shape
+    groups = hq // hkv
+    if scale is None:
+        scale = d ** -0.5
+    if start is None:
+        start = jnp.zeros((b,), jnp.int32)
+    start = start.astype(jnp.int32)
+    end = end.astype(jnp.int32)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    block_s = min(block_s, s_max)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hq, d), lambda bb, *_: (bb, 0, 0)),
+            pl.BlockSpec((1, hkv, d), lambda bb, *_: (bb, 0, 0)),
+            pl.BlockSpec((1, hkv, d), lambda bb, *_: (bb, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, hq, d), lambda bb, *_: (bb, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_s, hkv, d), k_slabs.dtype),
+            pltpu.VMEM((2, block_s, hkv, d), v_slabs.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _dma_kernel,
+        scale=scale,
+        block_s=block_s,
+        hkv=hkv,
+        groups=groups,
+        s_max=s_max,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        interpret=interpret,
+    )(layer, start, end, q, k_self, v_self, k_slabs, v_slabs)

@@ -1,0 +1,75 @@
+"""Fused decode-attention kernel parity vs an explicit dense reference."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_rs_tpu.ops.pallas.decode_attention import (
+    decode_attention,
+    decode_attention_dma,
+)
+
+
+def dense_reference(q, k_slab, v_slab, k_self, v_self, start, end):
+    b, hq, d = q.shape
+    _, s, hkv, _ = k_slab.shape
+    g = hq // hkv
+    out = np.zeros((b, hq, d), np.float32)
+    scale = d ** -0.5
+    for bb in range(b):
+        lo = 0 if start is None else int(start[bb])
+        hi = int(end[bb])
+        for h in range(hq):
+            kvh = h // g
+            keys = np.concatenate(
+                [k_slab[bb, lo:hi, kvh], k_self[bb, kvh][None]], 0
+            )
+            vals = np.concatenate(
+                [v_slab[bb, lo:hi, kvh], v_self[bb, kvh][None]], 0
+            )
+            sc = keys @ q[bb, h] * scale
+            p = np.exp(sc - sc.max())
+            p /= p.sum()
+            out[bb, h] = p @ vals
+    return out
+
+
+@pytest.mark.parametrize(
+    "b,s,hq,hkv,d,starts,ends,block_s",
+    [
+        (1, 577, 16, 8, 128, None, [450], 256),
+        (2, 300, 16, 8, 128, [0, 37], [290, 120], 128),
+        (1, 64, 4, 2, 64, None, [64], 64),
+        (3, 130, 8, 4, 128, [5, 0, 60], [100, 130, 61], 64),  # ragged block
+    ],
+)
+def test_decode_attention_matches_dense(rng, b, s, hq, hkv, d, starts,
+                                        ends, block_s):
+    q = (rng.standard_normal((b, hq, d)) * 0.5).astype(np.float32)
+    k_slab = (rng.standard_normal((b, s, hkv, d)) * 0.3).astype(np.float32)
+    v_slab = (rng.standard_normal((b, s, hkv, d)) * 0.3).astype(np.float32)
+    k_self = (rng.standard_normal((b, hkv, d)) * 0.3).astype(np.float32)
+    v_self = (rng.standard_normal((b, hkv, d)) * 0.3).astype(np.float32)
+    start = None if starts is None else jnp.asarray(starts, jnp.int32)
+    end = jnp.asarray(ends, jnp.int32)
+
+    got = decode_attention(
+        jnp.asarray(q), jnp.asarray(k_slab), jnp.asarray(v_slab),
+        jnp.asarray(k_self), jnp.asarray(v_self), start, end,
+        block_s=block_s, interpret=True,
+    )
+    want = dense_reference(q, k_slab, v_slab, k_self, v_self,
+                           None if starts is None else starts, ends)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-2, rtol=3e-2)
+
+    # manual-DMA variant (dynamic live-block trip count), with a stacked
+    # 3-layer slab read at layer index 1
+    k3 = np.stack([k_slab * 0.5, k_slab, k_slab * 2.0])
+    v3 = np.stack([v_slab * 0.5, v_slab, v_slab * 2.0])
+    got_dma = decode_attention_dma(
+        jnp.asarray(q), jnp.asarray(k3), jnp.asarray(v3),
+        jnp.asarray(k_self), jnp.asarray(v_self), jnp.int32(1),
+        start, end, block_s=block_s, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_dma), want, atol=3e-2,
+                               rtol=3e-2)

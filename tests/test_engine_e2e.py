@@ -179,6 +179,37 @@ def test_engine_batch_matches_single(rng):
     ]
 
 
+def test_engine_kernel_decode_attention_matches_dense(rng, monkeypatch):
+    """Forced Pallas decode-attention path == dense path, token-for-token."""
+    cfg = make_engine()[1]
+    enc_params = init_encoder_params(cfg.audio, dtype=jnp.float32)
+    dec_params = init_decoder_params(cfg.text, dtype=jnp.float32)
+
+    def engine():
+        return AsrEngine(
+            model_dir=None, dtype=jnp.float32, max_new_tokens=4,
+            chunk_buckets=(2,), config=cfg,
+            params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+        )
+
+    a = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    b = (rng.standard_normal(20000) * 0.1).astype(np.float32)
+
+    monkeypatch.setenv("ASR_DECODE_ATTN", "dense")
+    dense_single = engine().transcribe_samples(a)
+    dense_batch = engine().transcribe_batch([a, b])
+
+    monkeypatch.setenv("ASR_DECODE_ATTN", "kernel")
+    kern_eng = engine()
+    kern_single = kern_eng.transcribe_samples(a)
+    kern_batch = kern_eng.transcribe_batch([a, b])
+
+    assert kern_single.raw_output == dense_single.raw_output
+    assert [r.raw_output for r in kern_batch] == [
+        r.raw_output for r in dense_batch
+    ]
+
+
 def test_parse_asr_output():
     assert parse_asr_output("language English<asr_text>Hello.", False) == (
         "English", "Hello.",
