@@ -302,17 +302,19 @@ class TextDecoder:
         """Choose the decode-attention implementation for a slab size.
 
         The fused Pallas kernel only transfers/processes LIVE cache blocks
-        (dynamic trip count), so it wins when the slab is much larger than
-        the typical live length — i.e. big generation caps. Below the
-        threshold the XLA einsum path wins on kernel-launch overhead
-        (~37 us/launch measured on v5e).
+        (dynamic trip count), so its cost scales with the live length
+        while the XLA einsum path always reads the whole slab. The
+        crossover sits high because each pallas_call launch costs ~37 us
+        on this platform (28 launches/step): measured at the 4096-token
+        cap (s_max 4833) the two paths tie at ~3.0 ms/token, with the
+        kernel winning beyond. ASR_DECODE_ATTN=dense|kernel overrides.
         """
         import os
 
         impl = os.environ.get("ASR_DECODE_ATTN", "auto")
         if impl == "auto":
             on_tpu = jax.default_backend() in ("tpu", "axon")
-            return "kernel" if (on_tpu and s_max >= 1536) else "dense"
+            return "kernel" if (on_tpu and s_max >= 6144) else "dense"
         return impl
 
     def _decode_scan(self, params, hidden, cos, sin, cache, kv_start,
