@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import AudioEncoderConfig, feat_extract_output_length
+from ..config import AudioEncoderConfig
 from ..ops.attention import attention
 from ..ops.norms import layer_norm
 

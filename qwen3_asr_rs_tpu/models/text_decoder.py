@@ -26,7 +26,7 @@ Parameters are a plain pytree of jnp arrays; linear weights are stored
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
