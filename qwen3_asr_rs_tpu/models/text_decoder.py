@@ -278,9 +278,22 @@ class TextDecoder:
             cos, sin = c[:, None, :], s[:, None, :]  # (B, 1, D)
         # stale-slab validity: slots [0, pos) hold earlier tokens
         kv_valid = jnp.broadcast_to(pos, (b,)).astype(jnp.int32)
-        hidden, ks, vs = self._decode_scan(
-            params, hidden, cos, sin, cache, None, kv_valid
-        )
+        if self._use_fused_step(params, b, pos):
+            from ..ops.pallas.decode_layer import decode_layers_fused
+
+            h2, ks, vs = decode_layers_fused(
+                hidden[:, 0], cos, sin, params["layers"],
+                cache.k, cache.v, pos,
+                eps=self.cfg.rms_norm_eps,
+                interpret=_interpret_pallas(),
+            )
+            hidden = h2[:, None, :]
+            ks = ks[:, None]  # (L, B=1, Hkv, D) to match the scan path
+            vs = vs[:, None]
+        else:
+            hidden, ks, vs = self._decode_scan(
+                params, hidden, cos, sin, cache, None, kv_valid
+            )
         # ks/vs: (L, B, Hkv, D) — one slab write for all layers
         ks = ks.astype(cache.k.dtype)
         vs = vs.astype(cache.v.dtype)
@@ -297,6 +310,28 @@ class TextDecoder:
             v_new = cache.v.at[:, barange, pos].set(vs)
         cache = KVCache(k=k_new, v=v_new)
         return self.logits(params, hidden)[:, 0], cache
+
+    def _use_fused_step(self, params, b: int, pos) -> bool:
+        """Whether the single-pallas-call decode megakernel applies.
+
+        Eligibility: B == 1, shared scalar position, unquantized bf16/f32
+        weights, no attention biases, and a slab that fits the kernel's
+        VMEM budget. ASR_DECODE_IMPL=scan|fused overrides 'auto'.
+        """
+        import os
+
+        impl = os.environ.get("ASR_DECODE_IMPL", "auto")
+        if impl == "scan":
+            return False
+        eligible = (
+            b == 1
+            and jnp.ndim(pos) == 0
+            and ("q_w" in params["layers"] or "q_w_q" in params["layers"])
+            and "q_b" not in params["layers"]
+        )
+        if impl == "fused":
+            return eligible
+        return eligible and jax.default_backend() in ("tpu", "axon")
 
     def _decode_attn_impl(self, s_max: int) -> str:
         """Choose the decode-attention implementation for a slab size.

@@ -1,0 +1,98 @@
+"""Decode megakernel parity: fused single-kernel step == scan-path step."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_rs_tpu.config import tiny_test_config
+from qwen3_asr_rs_tpu.models.text_decoder import (
+    KVCache,
+    TextDecoder,
+    init_decoder_params,
+)
+
+
+@pytest.mark.parametrize("s_max,pos", [(64, 37), (130, 100), (32, 1)])
+def test_fused_decode_step_matches_scan(rng, monkeypatch, s_max, pos):
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    dec = TextDecoder(cfg, max_position=256)
+
+    cache = KVCache.zeros(cfg, 1, s_max, dtype=jnp.float32)
+    cache = KVCache(
+        k=jnp.asarray(rng.standard_normal(cache.k.shape) * 0.1, jnp.float32),
+        v=jnp.asarray(rng.standard_normal(cache.v.shape) * 0.1, jnp.float32),
+    )
+    tok = jnp.asarray([42], jnp.int32)
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "scan")
+    logits_scan, cache_scan = dec.decode_step(
+        params, tok, jnp.int32(pos), cache
+    )
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "fused")
+    logits_fused, cache_fused = dec.decode_step(
+        params, tok, jnp.int32(pos), cache
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(logits_fused), np.asarray(logits_scan),
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_fused.k), np.asarray(cache_scan.k),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_fused.v), np.asarray(cache_scan.v),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_fused_quantized_matches_quantized_scan(rng, monkeypatch):
+    """int8 megakernel == int8 scan path (same dequant math)."""
+    from qwen3_asr_rs_tpu.weights.quantize import quantize_decoder_params
+
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    qparams = quantize_decoder_params(params)
+    dec = TextDecoder(cfg, max_position=256)
+
+    cache = KVCache.zeros(cfg, 1, 48, dtype=jnp.float32)
+    tok = jnp.asarray([11], jnp.int32)
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "scan")
+    l_scan, c_scan = dec.decode_step(qparams, tok, jnp.int32(20), cache)
+    monkeypatch.setenv("ASR_DECODE_IMPL", "fused")
+    l_fused, c_fused = dec.decode_step(qparams, tok, jnp.int32(20), cache)
+
+    # the scan path's quant kernel computes in bf16 even for f32 engines,
+    # the fused kernel keeps the engine dtype -> small systematic delta
+    np.testing.assert_allclose(
+        np.asarray(l_fused), np.asarray(l_scan), atol=5e-3, rtol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_fused.k), np.asarray(c_scan.k), atol=5e-3, rtol=5e-3
+    )
+
+
+def test_fused_multi_step_token_parity(rng, monkeypatch):
+    """Several chained fused steps produce the scan path's tokens."""
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    dec = TextDecoder(cfg, max_position=256)
+
+    def run(impl):
+        monkeypatch.setenv("ASR_DECODE_IMPL", impl)
+        cache = KVCache.zeros(cfg, 1, 48, dtype=jnp.float32)
+        tok = jnp.asarray([7], jnp.int32)
+        toks = []
+        for i in range(5):
+            logits, cache = dec.decode_step(
+                params, tok, jnp.int32(10 + i), cache
+            )
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            toks.append(int(tok[0]))
+        return toks
+
+    assert run("fused") == run("scan")
