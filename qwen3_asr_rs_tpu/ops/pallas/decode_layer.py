@@ -75,13 +75,8 @@ def _kernel(
     gate_w_ref,   # (1, H, I)
     up_w_ref,     # (1, H, I)
     down_w_ref,   # (1, I, H)
-    q_s_ref,      # (1, NqD) f32 scales (ones when unquantized)
-    k_s_ref,      # (1, NkvD)
-    v_s_ref,      # (1, NkvD)
-    o_s_ref,      # (1, H)
-    gate_s_ref,   # (1, I)
-    up_s_ref,     # (1, I)
-    down_s_ref,   # (1, H)
+    scales_ref,   # (1, 8, max_N) f32 — rows: q,k,v,o,gate,up,down scales
+                  # (padded; ones when unquantized)
     k_slab_ref,   # (1, 1, S, Hkv, D)
     v_slab_ref,   # (1, 1, S, Hkv, D)
     # outputs
@@ -113,10 +108,17 @@ def _kernel(
     h = h_scr[:1]  # (1, H) f32 container holding cdt-rounded values
 
     # ---- attention block
+    def sc(row, n):
+        return scales_ref[0, row, :n][None, :]
+
     xn = _rms_norm(h, in_ln_ref[0], eps).astype(cdt)
-    q = _mm(xn, q_w_ref[0], q_s_ref[:], cdt).astype(cdt).reshape(hq, d)
-    k = _mm(xn, k_w_ref[0], k_s_ref[:], cdt).astype(cdt).reshape(hkv, d)
-    v = _mm(xn, v_w_ref[0], v_s_ref[:], cdt).astype(cdt).reshape(hkv, d)
+    nq_d = q_w_ref.shape[-1]
+    nkv_d = k_w_ref.shape[-1]
+    inter = gate_w_ref.shape[-1]
+    h_dim = o_w_ref.shape[-1]
+    q = _mm(xn, q_w_ref[0], sc(0, nq_d), cdt).astype(cdt).reshape(hq, d)
+    k = _mm(xn, k_w_ref[0], sc(1, nkv_d), cdt).astype(cdt).reshape(hkv, d)
+    v = _mm(xn, v_w_ref[0], sc(2, nkv_d), cdt).astype(cdt).reshape(hkv, d)
 
     # per-head QK rms norm
     q = _rms_norm(q, q_norm_ref[0], eps).astype(cdt)
@@ -187,18 +189,18 @@ def _kernel(
     )
     attn = attn.astype(cdt)  # (Hq, D)
 
-    o = _mm(attn.reshape(1, hq * d), o_w_ref[0], o_s_ref[:], cdt).astype(cdt)
+    o = _mm(attn.reshape(1, hq * d), o_w_ref[0], sc(3, h_dim), cdt).astype(cdt)
     h = (h.astype(cdt) + o).astype(jnp.float32)
 
     # ---- MLP block
     xn = _rms_norm(h, post_ln_ref[0], eps).astype(cdt)
-    gate = _mm(xn, gate_w_ref[0], gate_s_ref[:], cdt).astype(cdt)
+    gate = _mm(xn, gate_w_ref[0], sc(4, inter), cdt).astype(cdt)
     gate = (
         gate.astype(jnp.float32)
         * jax.nn.sigmoid(gate.astype(jnp.float32))
     ).astype(cdt)  # silu, rounded like the scan path
-    up = _mm(xn, up_w_ref[0], up_s_ref[:], cdt).astype(cdt)
-    down = _mm(gate * up, down_w_ref[0], down_s_ref[:], cdt).astype(cdt)
+    up = _mm(xn, up_w_ref[0], sc(5, inter), cdt).astype(cdt)
+    down = _mm(gate * up, down_w_ref[0], sc(6, h_dim), cdt).astype(cdt)
     h = (h.astype(cdt) + down).astype(jnp.float32)
 
     h_scr[:1] = h
@@ -234,17 +236,21 @@ def decode_layers_fused(
     names = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
     if quantized:
         weights = {n: layers[f"{n}_q"] for n in names}
-        scales = {n: layers[f"{n}_s"].astype(jnp.float32) for n in names}
     else:
         weights = {n: layers[n] for n in names}
-        scales = {
-            n: jnp.ones((nl, layers[n].shape[-1]), jnp.float32)
-            for n in names
-        }
 
     nq_d = weights["q_w"].shape[-1]
     nkv_d = weights["k_w"].shape[-1]
     inter = weights["gate_w"].shape[-1]
+
+    # pack the 7 per-output-channel scale vectors into one tile-aligned
+    # (L, 8, max_N) tensor (a (1, N) f32 block fails TPU tiling rules)
+    max_n = max(nq_d, nkv_d, inter, h_dim)
+    scales_packed = jnp.ones((nl, 8, max_n), jnp.float32)
+    if quantized:
+        for row, n in enumerate(names):
+            sv = layers[f"{n}_s"].astype(jnp.float32)
+            scales_packed = scales_packed.at[:, row, : sv.shape[-1]].set(sv)
     groups = nq_d // nkv_d
     hq = hkv * groups
 
@@ -280,13 +286,7 @@ def decode_layers_fused(
             pl.BlockSpec((1, h_dim, inter), lay3),     # gate_w
             pl.BlockSpec((1, h_dim, inter), lay3),     # up_w
             pl.BlockSpec((1, inter, h_dim), lay3),     # down_w
-            pl.BlockSpec((1, nq_d), lay2),             # q scales
-            pl.BlockSpec((1, nkv_d), lay2),            # k scales
-            pl.BlockSpec((1, nkv_d), lay2),            # v scales
-            pl.BlockSpec((1, h_dim), lay2),            # o scales
-            pl.BlockSpec((1, inter), lay2),            # gate scales
-            pl.BlockSpec((1, inter), lay2),            # up scales
-            pl.BlockSpec((1, h_dim), lay2),            # down scales
+            pl.BlockSpec((1, 8, max_n), lay3),         # packed scales
             pl.BlockSpec((1, 1, s_max, hkv, d), lay_slab),  # k slab
             pl.BlockSpec((1, 1, s_max, hkv, d), lay_slab),  # v slab
         ],
@@ -323,8 +323,7 @@ def decode_layers_fused(
         layers["q_norm_w"], layers["k_norm_w"],
         weights["o_w"], layers["post_ln_w"],
         weights["gate_w"], weights["up_w"], weights["down_w"],
-        scales["q_w"], scales["k_w"], scales["v_w"], scales["o_w"],
-        scales["gate_w"], scales["up_w"], scales["down_w"],
+        scales_packed,
         k_slabs, v_slabs,
     )
     return h_out, ks, vs
