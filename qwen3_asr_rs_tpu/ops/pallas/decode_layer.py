@@ -64,14 +64,11 @@ def _kernel(
     x_ref,        # (1, H) — initial hidden (read at l == 0)
     cos_ref,      # (1, D)
     sin_ref,      # (1, D)
-    in_ln_ref,    # (1, H)
+    norms_ref,    # (1, 8, H) — rows: in_ln, post_ln, q_norm, k_norm
     q_w_ref,      # (1, H, NqD)
     k_w_ref,      # (1, H, NkvD)
     v_w_ref,      # (1, H, NkvD)
-    q_norm_ref,   # (1, D)
-    k_norm_ref,   # (1, D)
     o_w_ref,      # (1, NqD, H)
-    post_ln_ref,  # (1, H)
     gate_w_ref,   # (1, H, I)
     up_w_ref,     # (1, H, I)
     down_w_ref,   # (1, I, H)
@@ -111,7 +108,7 @@ def _kernel(
     def sc(row, n):
         return scales_ref[0, row, :n][None, :]
 
-    xn = _rms_norm(h, in_ln_ref[0], eps).astype(cdt)
+    xn = _rms_norm(h, norms_ref[0, 0][None, :], eps).astype(cdt)
     nq_d = q_w_ref.shape[-1]
     nkv_d = k_w_ref.shape[-1]
     inter = gate_w_ref.shape[-1]
@@ -120,9 +117,9 @@ def _kernel(
     k = _mm(xn, k_w_ref[0], sc(1, nkv_d), cdt).astype(cdt).reshape(hkv, d)
     v = _mm(xn, v_w_ref[0], sc(2, nkv_d), cdt).astype(cdt).reshape(hkv, d)
 
-    # per-head QK rms norm
-    q = _rms_norm(q, q_norm_ref[0], eps).astype(cdt)
-    k = _rms_norm(k, k_norm_ref[0], eps).astype(cdt)
+    # per-head QK rms norm (rows 2/3 of the packed norm tensor, padded)
+    q = _rms_norm(q, norms_ref[0, 2, :d][None, :], eps).astype(cdt)
+    k = _rms_norm(k, norms_ref[0, 3, :d][None, :], eps).astype(cdt)
 
     # rotary (rotate-half)
     cos = cos_ref[0].astype(jnp.float32)[None, :]  # (1, D)
@@ -193,7 +190,7 @@ def _kernel(
     h = (h.astype(cdt) + o).astype(jnp.float32)
 
     # ---- MLP block
-    xn = _rms_norm(h, post_ln_ref[0], eps).astype(cdt)
+    xn = _rms_norm(h, norms_ref[0, 1][None, :], eps).astype(cdt)
     gate = _mm(xn, gate_w_ref[0], sc(4, inter), cdt).astype(cdt)
     gate = (
         gate.astype(jnp.float32)
@@ -244,13 +241,20 @@ def decode_layers_fused(
     inter = weights["gate_w"].shape[-1]
 
     # pack the 7 per-output-channel scale vectors into one tile-aligned
-    # (L, 8, max_N) tensor (a (1, N) f32 block fails TPU tiling rules)
+    # (L, 8, max_N) tensor (a (1, N) block fails TPU tiling rules)
     max_n = max(nq_d, nkv_d, inter, h_dim)
     scales_packed = jnp.ones((nl, 8, max_n), jnp.float32)
     if quantized:
         for row, n in enumerate(names):
             sv = layers[f"{n}_s"].astype(jnp.float32)
             scales_packed = scales_packed.at[:, row, : sv.shape[-1]].set(sv)
+
+    # pack the norm vectors the same way: rows in_ln, post_ln, q_norm, k_norm
+    norms_packed = jnp.zeros((nl, 8, h_dim), layers["input_ln_w"].dtype)
+    norms_packed = norms_packed.at[:, 0].set(layers["input_ln_w"])
+    norms_packed = norms_packed.at[:, 1].set(layers["post_ln_w"])
+    norms_packed = norms_packed.at[:, 2, :d].set(layers["q_norm_w"])
+    norms_packed = norms_packed.at[:, 3, :d].set(layers["k_norm_w"])
     groups = nq_d // nkv_d
     hq = hkv * groups
 
@@ -275,14 +279,11 @@ def decode_layers_fused(
             pl.BlockSpec((1, h_dim), const_idx),       # x
             pl.BlockSpec((1, d), const_idx),           # cos
             pl.BlockSpec((1, d), const_idx),           # sin
-            pl.BlockSpec((1, h_dim), lay2),            # input_ln_w
+            pl.BlockSpec((1, 8, h_dim), lay3),         # packed norms
             pl.BlockSpec((1, h_dim, nq_d), lay3),      # q_w
             pl.BlockSpec((1, h_dim, nkv_d), lay3),     # k_w
             pl.BlockSpec((1, h_dim, nkv_d), lay3),     # v_w
-            pl.BlockSpec((1, d), lay2),                # q_norm_w
-            pl.BlockSpec((1, d), lay2),                # k_norm_w
             pl.BlockSpec((1, nq_d, h_dim), lay3),      # o_w
-            pl.BlockSpec((1, h_dim), lay2),            # post_ln_w
             pl.BlockSpec((1, h_dim, inter), lay3),     # gate_w
             pl.BlockSpec((1, h_dim, inter), lay3),     # up_w
             pl.BlockSpec((1, inter, h_dim), lay3),     # down_w
@@ -310,6 +311,10 @@ def decode_layers_fused(
     h_out, ks, vs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            # ~30 MB of weights per layer, double-buffered by the pipeline
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((1, h_dim), x.dtype),
             jax.ShapeDtypeStruct((nl, hkv, d), k_slabs.dtype),
@@ -318,10 +323,9 @@ def decode_layers_fused(
         interpret=interpret,
     )(
         end, x, cos, sin,
-        layers["input_ln_w"],
+        norms_packed,
         weights["q_w"], weights["k_w"], weights["v_w"],
-        layers["q_norm_w"], layers["k_norm_w"],
-        weights["o_w"], layers["post_ln_w"],
+        weights["o_w"],
         weights["gate_w"], weights["up_w"], weights["down_w"],
         scales_packed,
         k_slabs, v_slabs,
