@@ -281,15 +281,15 @@ class TextDecoder:
         if self._use_fused_step(params, b, pos):
             from ..ops.pallas.decode_layer import decode_layers_fused
 
+            cos_b = jnp.broadcast_to(cos, (b, cos.shape[-1]))
+            sin_b = jnp.broadcast_to(sin, (b, sin.shape[-1]))
             h2, ks, vs = decode_layers_fused(
-                hidden[:, 0], cos, sin, params["layers"],
-                cache.k, cache.v, pos,
+                hidden[:, 0], cos_b, sin_b, params["layers"],
+                cache.k, cache.v, None, pos,
                 eps=self.cfg.rms_norm_eps,
                 interpret=_interpret_pallas(),
             )
             hidden = h2[:, None, :]
-            ks = ks[:, None]  # (L, B=1, Hkv, D) to match the scan path
-            vs = vs[:, None]
         else:
             hidden, ks, vs = self._decode_scan(
                 params, hidden, cos, sin, cache, None, kv_valid
@@ -324,8 +324,7 @@ class TextDecoder:
         if impl == "scan":
             return False
         eligible = (
-            b == 1
-            and jnp.ndim(pos) == 0
+            jnp.ndim(pos) == 0  # shared write slot (B=1 or aligned batch)
             and ("q_w" in params["layers"] or "q_w_q" in params["layers"])
             and "q_b" not in params["layers"]
         )
@@ -512,10 +511,21 @@ class TextDecoder:
         cos, sin = self.rotary.lookup_batch(positions)
 
         b_arr = jnp.broadcast_to(slot, (b,)).astype(jnp.int32)
-        hidden, ks, vs = self._decode_scan(
-            params, hidden, cos, sin, cache, kv_start.astype(jnp.int32),
-            b_arr,
-        )
+        if self._use_fused_step(params, b, slot):
+            from ..ops.pallas.decode_layer import decode_layers_fused
+
+            h2, ks, vs = decode_layers_fused(
+                hidden[:, 0], cos[:, 0], sin[:, 0], params["layers"],
+                cache.k, cache.v, kv_start.astype(jnp.int32), b_arr,
+                eps=self.cfg.rms_norm_eps,
+                interpret=_interpret_pallas(),
+            )
+            hidden = h2[:, None, :]
+        else:
+            hidden, ks, vs = self._decode_scan(
+                params, hidden, cos, sin, cache,
+                kv_start.astype(jnp.int32), b_arr,
+            )
         k_new = jax.lax.dynamic_update_slice(
             cache.k, ks[:, :, None].astype(cache.k.dtype), (0, 0, slot, 0, 0)
         )

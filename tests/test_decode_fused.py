@@ -76,6 +76,37 @@ def test_fused_quantized_matches_quantized_scan(rng, monkeypatch):
     )
 
 
+def test_fused_batched_aligned_matches_scan(rng, monkeypatch):
+    """Batched right-aligned fused step == scan path (per-example masks)."""
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    dec = TextDecoder(cfg, max_position=256)
+    b, s_max, slot = 3, 64, 40
+    kv_start = jnp.asarray([0, 10, 25], jnp.int32)
+
+    cache = KVCache.zeros(cfg, b, s_max, dtype=jnp.float32)
+    cache = KVCache(
+        k=jnp.asarray(rng.standard_normal(cache.k.shape) * 0.1, jnp.float32),
+        v=jnp.asarray(rng.standard_normal(cache.v.shape) * 0.1, jnp.float32),
+    )
+    toks = jnp.asarray([3, 99, 250], jnp.int32)
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "scan")
+    l_scan, c_scan = dec.decode_step_aligned(
+        params, toks, jnp.int32(slot), kv_start, cache
+    )
+    monkeypatch.setenv("ASR_DECODE_IMPL", "fused")
+    l_fused, c_fused = dec.decode_step_aligned(
+        params, toks, jnp.int32(slot), kv_start, cache
+    )
+    np.testing.assert_allclose(
+        np.asarray(l_fused), np.asarray(l_scan), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_fused.k), np.asarray(c_scan.k), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_fused_multi_step_token_parity(rng, monkeypatch):
     """Several chained fused steps produce the scan path's tokens."""
     cfg = tiny_test_config().text
