@@ -330,7 +330,14 @@ class TextDecoder:
         )
         if impl == "fused":
             return eligible
-        return eligible and jax.default_backend() in ("tpu", "axon")
+        # auto: only on TPU, and only for lane-aligned head dims — Mosaic
+        # cannot shape-cast the in-kernel (B, H*D) -> (B*H, D) reshape when
+        # D < 128 (found driving the CLI with a tiny test model on chip)
+        return (
+            eligible
+            and self.cfg.head_dim % 128 == 0
+            and jax.default_backend() in ("tpu", "axon")
+        )
 
     def _decode_attn_impl(self, s_max: int) -> str:
         """Choose the decode-attention implementation for a slab size.
