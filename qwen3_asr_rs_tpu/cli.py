@@ -112,25 +112,33 @@ def main(argv=None) -> int:
 
             dump_metrics(metrics_path)
 
-    if len(audio_files) == 1:
-        logger.info("Transcribing: %s", audio_files[0])
-        result = engine.transcribe(audio_files[0], language)
-        print(f"Language: {result.language}")
-        print(f"Text: {result.text}")
+    from .errors import AsrError
+
+    try:
+        if len(audio_files) == 1:
+            logger.info("Transcribing: %s", audio_files[0])
+            result = engine.transcribe(audio_files[0], language)
+            print(f"Language: {result.language}")
+            print(f"Text: {result.text}")
+            finish()
+            return 0
+
+        logger.info("Transcribing %d files as one batch", len(audio_files))
+        from .audio.load import load_audio
+
+        samples = [load_audio(f, 16000) for f in audio_files]
+        results = engine.transcribe_batch(samples, [language] * len(samples))
+        for f, result in zip(audio_files, results):
+            print(f"File: {f}")
+            print(f"Language: {result.language}")
+            print(f"Text: {result.text}")
         finish()
         return 0
-
-    logger.info("Transcribing %d files as one batch", len(audio_files))
-    from .audio.load import load_audio
-
-    samples = [load_audio(f, 16000) for f in audio_files]
-    results = engine.transcribe_batch(samples, [language] * len(samples))
-    for f, result in zip(audio_files, results):
-        print(f"File: {f}")
-        print(f"Language: {result.language}")
-        print(f"Text: {result.text}")
-    finish()
-    return 0
+    except AsrError as e:
+        # framework errors (undecodable audio, bad checkpoint, ...) get a
+        # clean one-line message instead of a traceback
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -49,6 +49,20 @@ def test_cli_on_reference_fixture(model_dir, wav, capsys, monkeypatch):
     assert out[1].startswith("Text:")
 
 
+def test_cli_undecodable_audio_clean_error(model_dir, tmp_path, capsys,
+                                            monkeypatch):
+    """Garbage audio -> one-line `Error:` message, exit 1, no traceback."""
+    monkeypatch.setenv("ASR_DTYPE", "float32")
+    junk = tmp_path / "junk.wav"
+    junk.write_bytes(b"definitely not audio")
+    from qwen3_asr_rs_tpu.cli import main
+
+    rc = main([str(model_dir), str(junk)])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "Error: Could not decode audio file" in err
+
+
 def test_cli_multi_file_batch(model_dir, capsys, monkeypatch):
     """CLI extension: several audio files -> one batched dispatch."""
     monkeypatch.setenv("ASR_MAX_NEW_TOKENS", "3")
