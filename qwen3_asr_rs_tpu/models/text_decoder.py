@@ -80,19 +80,18 @@ def _interpret_pallas() -> bool:
 
 
 def _linear(tree: PyTree, name: str, x):
-    """x @ W for a bf16 weight or an int8-quantized (W_q, scales) pair."""
-    if f"{name}_q" in tree:
-        from ..ops.pallas.quant_matmul import quant_matmul
+    """x @ W for a bf16 weight or an int8-quantized (W_q, scales) pair.
 
-        shape = x.shape
-        y = quant_matmul(
-            x.reshape(-1, shape[-1]),
-            tree[f"{name}_q"],
-            tree[f"{name}_s"],
-            out_dtype=x.dtype,
-            interpret=_interpret_pallas(),
-        )
-        return y.reshape(*shape[:-1], y.shape[-1])
+    The quantized branch dequantizes through XLA (int8 values are exact
+    in the compute dtype; the per-channel scale applies after the
+    contraction). This path runs for prefill and for decode fallbacks —
+    the decode hot loop reads int8 directly inside the megakernel
+    (ops/pallas/decode_layer.py), where dequant overlaps the weight DMA.
+    """
+    if f"{name}_q" in tree:
+        w = tree[f"{name}_q"].astype(x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        return (y * tree[f"{name}_s"].astype(jnp.float32)).astype(x.dtype)
     return x @ tree[name]
 
 
