@@ -208,17 +208,13 @@ class TextDecoder:
         """Final norm + lm head, computed in f32 (argmax parity)."""
         h = rms_norm(hidden, params["final_ln_w"], self.cfg.rms_norm_eps)
         if "lm_head_q" in params:
-            from ..ops.pallas.quant_matmul import quant_matmul
-
-            b, s, d = h.shape
-            y = quant_matmul(
-                h.reshape(-1, d),
-                params["lm_head_q"],
-                params["lm_head_s"],
-                out_dtype=jnp.float32,
-                interpret=_interpret_pallas(),
+            # XLA dequant (see _linear): int8 is exact in the compute
+            # dtype, per-vocab-column scale applied after the contraction
+            y = jnp.dot(
+                h, params["lm_head_q"].astype(h.dtype),
+                preferred_element_type=jnp.float32,
             )
-            return y.reshape(b, s, -1)
+            return y * params["lm_head_s"].astype(jnp.float32)
         return jnp.einsum(
             "bsh,vh->bsv", h, params["lm_head"],
             preferred_element_type=jnp.float32,
