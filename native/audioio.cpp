@@ -51,6 +51,11 @@ bool parse_wav(const uint8_t* data, size_t len, WavData* out) {
       std::memcpy(&channels, body + 2, 2);
       std::memcpy(&rate, body + 4, 4);
       std::memcpy(&bits, body + 14, 2);
+      if (format == 0xFFFE && size >= 26) {
+        // WAVE_FORMAT_EXTENSIBLE: real tag is the subformat GUID's first
+        // two bytes (fmt-chunk offset 24); 1 = PCM, 3 = IEEE float.
+        std::memcpy(&format, body + 24, 2);
+      }
     } else if (std::memcmp(data + off, "data", 4) == 0) {
       payload = body;
       payload_len = size;
@@ -61,6 +66,7 @@ bool parse_wav(const uint8_t* data, size_t len, WavData* out) {
     g_error = "missing fmt/data chunk";
     return false;
   }
+  // Extensible with no GUID (malformed): guess, same rule as load.py.
   if (format == 0xFFFE) format = (bits == 32 || bits == 64) ? 3 : 1;
 
   out->sample_rate = rate;

@@ -99,6 +99,7 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/WAVE file")
 
     fmt = None
+    fmt_body = b""
     payload = None
     off = 12
     while off + 8 <= len(data):
@@ -107,6 +108,7 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         body = data[off + 8 : off + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif chunk_id == b"data":
             payload = body
         off += 8 + size + (size & 1)
@@ -114,9 +116,13 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     if fmt is None or payload is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(payload) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        # subformat GUID's first two bytes carry the real format tag
-        audio_format = 1 if bits in (8, 16, 24, 32) else 3
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # The subformat GUID (fmt-chunk offset 24) carries the real format
+        # tag in its first two bytes (1 = PCM, 3 = IEEE float).
+        if len(fmt_body) >= 26:
+            (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
+        else:  # malformed: no GUID present; guess (same rule as audioio.cpp)
+            audio_format = 3 if bits in (32, 64) else 1
 
     if audio_format == 1:  # PCM
         if bits == 8:

@@ -273,7 +273,7 @@ class TextDecoder:
             cos, sin = c[:, None, :], s[:, None, :]  # (B, 1, D)
         # stale-slab validity: slots [0, pos) hold earlier tokens
         kv_valid = jnp.broadcast_to(pos, (b,)).astype(jnp.int32)
-        if self._use_fused_step(params, b, pos):
+        if self._use_fused_step(params, b, pos, cache):
             from ..ops.pallas.decode_layer import decode_layers_fused
 
             cos_b = jnp.broadcast_to(cos, (b, cos.shape[-1]))
@@ -306,12 +306,56 @@ class TextDecoder:
         cache = KVCache(k=k_new, v=v_new)
         return self.logits(params, hidden)[:, 0], cache
 
-    def _use_fused_step(self, params, b: int, pos) -> bool:
+    def _fused_step_vmem_ok(self, params, b: int, cache: KVCache) -> bool:
+        """Whether the decode megakernel's blocks fit its VMEM budget.
+
+        Pallas double-buffers every per-layer block (weights + the K/V
+        slab blocks), so the footprint is 2x (layer weights + slab
+        blocks) plus the small constant blocks and the f32 hidden
+        scratch. For large slabs (e.g. 240/360-chunk buckets with
+        max_new_tokens=4096, s_max ~7-9k) this exceeds the 120 MB
+        vmem_limit_bytes in decode_layer.py and Mosaic compilation would
+        fail at runtime — fall back to the scan path instead (which has
+        the DMA attention kernel for big slabs).
+        """
+        from ..ops.pallas.decode_layer import VMEM_LIMIT_BYTES
+
+        cfg = self.cfg
+        layers = params["layers"]
+        w = layers["q_w_q"] if "q_w_q" in layers else layers["q_w"]
+        wbytes = jnp.dtype(w.dtype).itemsize
+        h, d = cfg.hidden_size, cfg.head_dim
+        nq_d = cfg.num_attention_heads * d
+        nkv_d = cfg.num_key_value_heads * d
+        inter = cfg.intermediate_size
+        w_elems = (
+            h * nq_d            # q_w
+            + 2 * h * nkv_d     # k_w, v_w
+            + nq_d * h          # o_w
+            + 2 * h * inter     # gate_w, up_w
+            + inter * h         # down_w
+        )
+        slab_bytes = (
+            2  # k + v
+            * b * cache.max_len * cfg.num_key_value_heads * d
+            * jnp.dtype(cache.k.dtype).itemsize
+        )
+        kv_out_bytes = 2 * b * nkv_d * jnp.dtype(cache.k.dtype).itemsize
+        per_layer = w_elems * wbytes + slab_bytes + kv_out_bytes
+        const = (
+            max(8, b) * h * 4            # f32 hidden scratch
+            + b * (h + 2 * d) * wbytes   # x, cos, sin blocks
+            + 2 * 8 * max(nq_d, inter, h) * 4  # packed norms + scales
+        )
+        return 2 * per_layer + const <= VMEM_LIMIT_BYTES
+
+    def _use_fused_step(self, params, b: int, pos, cache: KVCache) -> bool:
         """Whether the single-pallas-call decode megakernel applies.
 
-        Eligibility: B == 1, shared scalar position, unquantized bf16/f32
-        weights, no attention biases, and a slab that fits the kernel's
-        VMEM budget. ASR_DECODE_IMPL=scan|fused overrides 'auto'.
+        Eligibility: shared scalar write slot, stacked (possibly int8)
+        weights, no attention biases, and a slab whose double-buffered
+        blocks fit the kernel's VMEM budget (_fused_step_vmem_ok).
+        ASR_DECODE_IMPL=scan|fused overrides 'auto'.
         """
         import os
 
@@ -322,6 +366,7 @@ class TextDecoder:
             jnp.ndim(pos) == 0  # shared write slot (B=1 or aligned batch)
             and ("q_w" in params["layers"] or "q_w_q" in params["layers"])
             and "q_b" not in params["layers"]
+            and self._fused_step_vmem_ok(params, b, cache)
         )
         if impl == "fused":
             return eligible
@@ -334,23 +379,63 @@ class TextDecoder:
             and jax.default_backend() in ("tpu", "axon")
         )
 
+    # Per-pallas_call launch overhead measured through the tunneled v5e
+    # (NOTES.md); untunneled hardware is substantially cheaper. Override
+    # with ASR_PALLAS_LAUNCH_US (measure with
+    # scripts/measure_launch_overhead.py) or set the slab-size crossover
+    # directly with ASR_DECODE_ATTN_THRESHOLD.
+    TUNNEL_LAUNCH_OVERHEAD_US = 37.0
+    _ATTN_THRESHOLD_AT_TUNNEL = 6144
+
+    @classmethod
+    def decode_attn_threshold(cls) -> int:
+        """Slab size above which the DMA attention kernel beats dense XLA.
+
+        The kernel only transfers LIVE cache blocks, so it saves
+        HBM reads proportional to s_max but pays one pallas_call launch
+        per layer. The crossover therefore scales linearly with the
+        launch overhead; 6144 was measured at the ~37 us tunneled cost.
+        """
+        import os
+
+        env = os.environ.get("ASR_DECODE_ATTN_THRESHOLD")
+        if env:
+            return int(env)
+        launch_us = float(
+            os.environ.get(
+                "ASR_PALLAS_LAUNCH_US", cls.TUNNEL_LAUNCH_OVERHEAD_US
+            )
+        )
+        return max(
+            256,
+            int(
+                cls._ATTN_THRESHOLD_AT_TUNNEL
+                * launch_us / cls.TUNNEL_LAUNCH_OVERHEAD_US
+            ),
+        )
+
     def _decode_attn_impl(self, s_max: int) -> str:
         """Choose the decode-attention implementation for a slab size.
 
         The fused Pallas kernel only transfers/processes LIVE cache blocks
         (dynamic trip count), so its cost scales with the live length
         while the XLA einsum path always reads the whole slab. The
-        crossover sits high because each pallas_call launch costs ~37 us
-        on this platform (28 launches/step): measured at the 4096-token
-        cap (s_max 4833) the two paths tie at ~3.0 ms/token, with the
-        kernel winning beyond. ASR_DECODE_ATTN=dense|kernel overrides.
+        crossover (decode_attn_threshold) sits high on this platform
+        because each pallas_call launch costs ~37 us through the tunnel
+        (28 launches/step): measured at the 4096-token cap (s_max 4833)
+        the two paths tie at ~3.0 ms/token, with the kernel winning
+        beyond. ASR_DECODE_ATTN=dense|kernel overrides.
         """
         import os
 
         impl = os.environ.get("ASR_DECODE_ATTN", "auto")
         if impl == "auto":
             on_tpu = jax.default_backend() in ("tpu", "axon")
-            return "kernel" if (on_tpu and s_max >= 6144) else "dense"
+            return (
+                "kernel"
+                if (on_tpu and s_max >= self.decode_attn_threshold())
+                else "dense"
+            )
         return impl
 
     def _decode_scan(self, params, hidden, cos, sin, cache, kv_start,
@@ -362,41 +447,58 @@ class TextDecoder:
         explicit self-term).
         """
         impl = self._decode_attn_impl(cache.max_len)
+        num_layers = cache.k.shape[0]
         if impl == "kernel":
             from ..ops.pallas.decode_attention import decode_attention_dma
 
             k_slabs, v_slabs = cache.k, cache.v  # closed over: no slicing
 
-            def body(h, xs):
-                layer, l_idx = xs
-                h, k_f, v_f = self._decode_layer_kernel(
+            def step(h, layer, l_idx):
+                return self._decode_layer_kernel(
                     layer, l_idx, h, cos, sin, k_slabs, v_slabs,
                     kv_start, kv_end, decode_attention_dma,
                 )
-                return h, (k_f, v_f)
-
-            num_layers = cache.k.shape[0]
-            hidden, (ks, vs) = jax.lax.scan(
-                body, hidden,
-                (params["layers"], jnp.arange(num_layers, dtype=jnp.int32)),
-            )
-            return hidden, ks, vs
-
-        def body(h, xs):
-            layer, k_lay, v_lay = xs
-            s_max = k_lay.shape[1]
+        else:
+            s_max = cache.max_len
             live = jnp.arange(s_max)[None, :] < kv_end[:, None]
             if kv_start is not None:
                 live = live & (
                     jnp.arange(s_max)[None, :] >= kv_start[:, None]
                 )
-            h, k_f, v_f = self._decode_layer_masked(
-                layer, h, cos, sin, k_lay, v_lay, live
-            )
+
+            def step(h, layer, l_idx):
+                k_lay = jax.lax.dynamic_index_in_dim(
+                    cache.k, l_idx, keepdims=False
+                )
+                v_lay = jax.lax.dynamic_index_in_dim(
+                    cache.v, l_idx, keepdims=False
+                )
+                return self._decode_layer_masked(
+                    layer, h, cos, sin, k_lay, v_lay, live
+                )
+
+        if self.unroll_layers:
+            # Unrolled python loop: weights and slab slices become static,
+            # letting XLA schedule each layer's weight streaming
+            # individually (slightly better decode overlap at ~5x the
+            # compile time; opt-in via AsrEngine(unroll_decode=True)).
+            h = hidden
+            ks, vs = [], []
+            for i in range(num_layers):
+                layer = {k: v[i] for k, v in params["layers"].items()}
+                h, k_f, v_f = step(h, layer, jnp.int32(i))
+                ks.append(k_f)
+                vs.append(v_f)
+            return h, jnp.stack(ks), jnp.stack(vs)
+
+        def body(h, xs):
+            layer, l_idx = xs
+            h, k_f, v_f = step(h, layer, l_idx)
             return h, (k_f, v_f)
 
         hidden, (ks, vs) = jax.lax.scan(
-            body, hidden, (params["layers"], cache.k, cache.v)
+            body, hidden,
+            (params["layers"], jnp.arange(num_layers, dtype=jnp.int32)),
         )
         return hidden, ks, vs
 
@@ -513,7 +615,7 @@ class TextDecoder:
         cos, sin = self.rotary.lookup_batch(positions)
 
         b_arr = jnp.broadcast_to(slot, (b,)).astype(jnp.int32)
-        if self._use_fused_step(params, b, slot):
+        if self._use_fused_step(params, b, slot, cache):
             from ..ops.pallas.decode_layer import decode_layers_fused
 
             h2, ks, vs = decode_layers_fused(

@@ -35,6 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -1e9
 
+# The kernel's VMEM ceiling: ~30 MB of weights per layer double-buffered
+# by the pipeline, plus the per-layer slab blocks. Dispatch
+# (TextDecoder._fused_step_vmem_ok) checks a block-footprint estimate
+# against this before choosing the kernel.
+VMEM_LIMIT_BYTES = 120 * 1024 * 1024
+
 
 def _rms_norm(x, w, eps):
     xf = x.astype(jnp.float32)
@@ -331,9 +337,7 @@ def decode_layers_fused(
         kernel,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            # ~30 MB of weights per layer, double-buffered by the pipeline,
-            # plus the per-layer slab block
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, h_dim), x.dtype),

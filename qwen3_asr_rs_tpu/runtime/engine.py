@@ -282,11 +282,11 @@ class AsrEngine:
             n_gen = jnp.where(newly_done, n_gen, n_gen + 1)
             if aligned:
                 # all examples write the SAME slot: P + step
-                logits, cache = self.decoder.decode_step_aligned(
+                logits, cache = self.decoder_unrolled.decode_step_aligned(
                     dec_params, tok, jnp.int32(p) + step, kv_start, cache
                 )
             else:
-                logits, cache = self.decoder.decode_step(
+                logits, cache = self.decoder_unrolled.decode_step(
                     dec_params, tok, true_len[0] + step, cache
                 )
             return cache, logits, n_gen, newly_done, out_buf, step + 1

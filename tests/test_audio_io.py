@@ -27,6 +27,48 @@ def write_wav_pcm16(path, samples, rate, channels=1):
         f.write(b"data" + struct.pack("<I", data_size) + pcm)
 
 
+def write_wav_extensible(path, samples, rate, subformat, bits):
+    """WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) with a real subformat GUID."""
+    import struct
+
+    x = np.asarray(samples)
+    if subformat == 1:  # int PCM
+        assert bits == 32
+        pcm = (np.clip(x, -1, 1) * 2147483647).astype("<i4").tobytes()
+    else:  # IEEE float
+        assert bits == 32
+        pcm = x.astype("<f4").tobytes()
+    guid = struct.pack("<H", subformat) + bytes(
+        [0, 0, 0, 0, 0x10, 0, 0x80, 0, 0, 0xAA, 0, 0x38, 0x9B, 0x71]
+    )
+    fmt = struct.pack(
+        "<HHIIHH", 0xFFFE, 1, rate, rate * bits // 8, bits // 8, bits
+    ) + struct.pack("<HHI", 22, bits, 0x4) + guid
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 12 + len(fmt) + 8 + len(pcm))
+                + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        f.write(b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+@pytest.mark.parametrize("subformat", [1, 3])
+def test_wav_extensible_guid(tmp_path, rng, subformat):
+    """Extensible WAVs must decode by subformat GUID, not a bit-depth guess.
+
+    32-bit is the ambiguous case: int PCM and IEEE float are both 32-bit,
+    so only the GUID disambiguates (the round-1 bug decoded one of them
+    as garbage).
+    """
+    x = (rng.standard_normal(8000) * 0.2).astype(np.float32)
+    p = tmp_path / f"ext{subformat}.wav"
+    write_wav_extensible(p, x, 16000, subformat, 32)
+    y = load_audio_wav(str(p), 16000)
+    np.testing.assert_allclose(y, x, atol=1e-6)
+    if native.native_available():
+        z = native.native_load_wav(str(p), 16000)
+        np.testing.assert_allclose(z, y, atol=1e-6)
+
+
 def test_resample_preserves_tone():
     # 440 Hz sine at 24 kHz -> 16 kHz must stay 440 Hz, amplitude ~1
     rate_in, rate_out = 24000, 16000

@@ -127,3 +127,41 @@ def test_fused_multi_step_token_parity(rng, monkeypatch):
         return toks
 
     assert run("fused") == run("scan")
+
+
+def test_fused_step_vmem_guard():
+    """Megakernel dispatch must refuse slabs whose double-buffered blocks
+    exceed the kernel's VMEM budget (and accept 0.6B-size slabs that fit)."""
+    from qwen3_asr_rs_tpu.config import AsrConfig
+
+    cfg = AsrConfig().text  # real 0.6B shapes
+    dec = TextDecoder(cfg, max_position=16)
+    # fake param tree: only dtype/keys are inspected by the guard
+    params = {"layers": {"q_w": jnp.zeros((1, 1), jnp.bfloat16)}}
+
+    small = KVCache.zeros(cfg, 1, 4833, dtype=jnp.bfloat16)  # 30s bucket
+    assert dec._fused_step_vmem_ok(params, 1, small)
+
+    big = KVCache.zeros(cfg, 1, 8833, dtype=jnp.bfloat16)  # 360s bucket
+    assert not dec._fused_step_vmem_ok(params, 1, big)
+    # ... and _use_fused_step honors the guard even when forced
+    import os
+
+    os.environ["ASR_DECODE_IMPL"] = "fused"
+    try:
+        assert not dec._use_fused_step(params, 1, jnp.int32(0), big)
+    finally:
+        del os.environ["ASR_DECODE_IMPL"]
+
+
+def test_decode_attn_threshold_scales_with_launch_cost(monkeypatch):
+    """Crossover derives from the measured pallas launch overhead."""
+    monkeypatch.delenv("ASR_DECODE_ATTN_THRESHOLD", raising=False)
+    monkeypatch.delenv("ASR_PALLAS_LAUNCH_US", raising=False)
+    assert TextDecoder.decode_attn_threshold() == 6144  # tunnel default
+    monkeypatch.setenv("ASR_PALLAS_LAUNCH_US", "18.5")
+    assert TextDecoder.decode_attn_threshold() == 3072
+    monkeypatch.setenv("ASR_PALLAS_LAUNCH_US", "0.5")
+    assert TextDecoder.decode_attn_threshold() >= 256  # floor
+    monkeypatch.setenv("ASR_DECODE_ATTN_THRESHOLD", "9999")
+    assert TextDecoder.decode_attn_threshold() == 9999  # direct override

@@ -55,3 +55,37 @@ def test_unknown_quantize_mode_rejected():
             tokenizer=object(),
             quantize="int3",
         )
+
+
+def test_unroll_decode_token_parity(rng):
+    """unroll_decode=True must emit the same tokens as the scan decoder."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from qwen3_asr_rs_tpu.config import tiny_test_config
+    from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+    from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
+    from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+    from test_engine_e2e import MockTokenizer
+
+    cfg = tiny_test_config()
+    text = dataclasses.replace(cfg.text, vocab_size=151936)
+    cfg = dataclasses.replace(
+        cfg, thinker_config=dataclasses.replace(
+            cfg.thinker_config, text_config=text)
+    )
+    enc_params = init_encoder_params(cfg.audio, dtype=jnp.float32)
+    dec_params = init_decoder_params(cfg.text, dtype=jnp.float32)
+
+    def eng(unroll):
+        return AsrEngine(
+            model_dir=None, dtype=jnp.float32, max_new_tokens=5,
+            chunk_buckets=(2,), config=cfg,
+            params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+            unroll_decode=unroll,
+        )
+
+    samples = (rng.standard_normal(18000) * 0.1).astype("float32")
+    scan = eng(False).transcribe_samples(samples)
+    unrolled = eng(True).transcribe_samples(samples)
+    assert unrolled.raw_output == scan.raw_output
