@@ -215,9 +215,8 @@ def _dft_consts(n_fft: int):
     return dft_matrices(n_fft)
 
 
-def log_mel_from_padded(wave, n_true_frames, mel_filters,
-                        n_fft: int = 400, hop_length: int = 160):
-    """Core traced computation (also reusable inside larger jit graphs).
+def _raw_log_mel(wave, n_true_frames, mel_filters, n_fft, hop_length):
+    """log10(mel power) before normalization; returns (log_mel, frame_valid).
 
     ``wave`` must already carry the reflect padding from ``pad_waveform``;
     its length determines the static frame count
@@ -254,11 +253,41 @@ def log_mel_from_padded(wave, n_true_frames, mel_filters,
     # Mel projection: (mels, bins) @ (bins, frames)
     mel = mel_filters @ power.T
 
-    # Whisper log-normalization over the *true* frames only.
     frame_valid = jnp.arange(num_frames) < n_true_frames
     log_mel = jnp.log10(jnp.maximum(mel, 1e-10))
-    max_val = jnp.max(jnp.where(frame_valid[None, :], log_mel, -jnp.inf))
-    log_mel = jnp.maximum(log_mel, max_val - 8.0)
+    return log_mel, frame_valid
+
+
+def raw_log_mel_max(wave, n_true_frames, mel_filters,
+                    n_fft: int = 400, hop_length: int = 160):
+    """Max of log10 mel power over the true frames (a traced scalar).
+
+    The Whisper normalization floors at ``global_max - 8``; incremental
+    (streaming) encoding tracks this max across updates so per-window
+    encodes can apply the same floor the full-utterance pass would.
+    """
+    log_mel, frame_valid = _raw_log_mel(
+        wave, n_true_frames, mel_filters, n_fft, hop_length
+    )
+    return jnp.max(jnp.where(frame_valid[None, :], log_mel, -jnp.inf))
+
+
+def log_mel_from_padded(wave, n_true_frames, mel_filters,
+                        n_fft: int = 400, hop_length: int = 160,
+                        log_max=None):
+    """Core traced computation (also reusable inside larger jit graphs).
+
+    When ``log_max`` is None the Whisper floor uses the max over this
+    waveform's true frames (the reference semantics, src/mel.rs:88-92);
+    streaming passes the session-wide running max instead so per-window
+    mels match what a full-utterance pass would produce.
+    """
+    log_mel, frame_valid = _raw_log_mel(
+        wave, n_true_frames, mel_filters, n_fft, hop_length
+    )
+    if log_max is None:
+        log_max = jnp.max(jnp.where(frame_valid[None, :], log_mel, -jnp.inf))
+    log_mel = jnp.maximum(log_mel, log_max - 8.0)
     log_mel = (log_mel + 4.0) / 4.0
     # Padded frames become exactly 0.0 — the value the reference uses when
     # zero-padding encoder tail chunks (src/audio_encoder.rs:109-113).

@@ -248,6 +248,101 @@ class TextDecoder:
             )
         return self.logits(params, last)[:, 0], cache
 
+    def prefill_chunk(
+        self,
+        params: PyTree,
+        hidden,    # (B, P, hidden) — embeddings for positions [start, start+P)
+        start,     # traced scalar int32: absolute position of hidden[:, 0]
+        cache: KVCache,
+        true_len,  # traced scalar int32: valid chunk length (<= P)
+    ):
+        """Incremental (chunked) prefill extending an existing cache.
+
+        Slab slots [0, start) must already hold valid K/V; this writes
+        slots [start, start+P) and each chunk query i attends to key slot
+        j iff j <= start + i — i.e. the full history plus the fresh block
+        causally. Slots past start+P are never attendable. This is what
+        makes streaming reuse possible: only the changed suffix of the
+        prompt is recomputed (the reference has no incremental path —
+        src/inference.rs:139-149 prefills the whole prompt every time).
+
+        Returns (logits at chunk index true_len - 1, cache).
+        """
+        b, p_len, _ = hidden.shape
+        positions = start + jnp.arange(p_len)
+        cos, sin = self.rotary.lookup(positions)
+
+        def body(h, xs):
+            layer, k_c, v_c = xs
+            h, k_c, v_c = self._chunk_layer(
+                layer, h, cos, sin, k_c, v_c, start
+            )
+            return h, (k_c, v_c)
+
+        hidden, (k, v) = jax.lax.scan(
+            body, hidden, (params["layers"], cache.k, cache.v)
+        )
+        last = jax.lax.dynamic_slice_in_dim(hidden, true_len - 1, 1, axis=1)
+        return self.logits(params, last)[:, 0], KVCache(k=k, v=v)
+
+    def _chunk_layer(self, layer, x, cos, sin, k_cache, v_cache, start):
+        """One layer of chunked prefill: write-at-start + history attention."""
+        cfg = self.cfg
+        b, p_len, _ = x.shape
+        nq, nkv, hd = (
+            cfg.num_attention_heads,
+            cfg.num_key_value_heads,
+            cfg.head_dim,
+        )
+        groups = nq // nkv
+        residual = x
+        h = rms_norm(x, layer["input_ln_w"], cfg.rms_norm_eps)
+        q = _qkv(layer, "q", h, nq, hd)
+        k = _qkv(layer, "k", h, nkv, hd)
+        v = _qkv(layer, "v", h, nkv, hd)
+        q = rms_norm(q, layer["q_norm_w"], cfg.rms_norm_eps)
+        k = rms_norm(k, layer["k_norm_w"], cfg.rms_norm_eps)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+
+        # write the fresh block FIRST, then attend over the slab: key slot
+        # j is attendable by chunk query i iff j <= start + i, which covers
+        # both the history [0, start) and the fresh block causally.
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, start, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, start, 0, 0)
+        )
+
+        s_max = k_cache.shape[1]
+        scale = hd ** -0.5
+        qg = q.reshape(b, p_len, nkv, groups, hd)
+        sc = jnp.einsum(
+            "bqhgd,bkhd->bhgqk", qg, k_cache.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        ok = (
+            jnp.arange(s_max)[None, :]
+            <= start + jnp.arange(p_len)[:, None]
+        )  # (P, S)
+        sc = jnp.where(ok[None, None, None, :, :], sc, -1e9)
+        m = jnp.max(sc, -1, keepdims=True)
+        p = jnp.exp(sc - m)
+        p = p / jnp.sum(p, -1, keepdims=True)
+        out = jnp.einsum(
+            "bhgqk,bkhd->bqhgd", p.astype(v_cache.dtype),
+            v_cache,
+            preferred_element_type=jnp.float32,
+        )
+        out = out.reshape(b, p_len, nq * hd).astype(x.dtype)
+        x = residual + _linear(layer, "o_w", out)
+        residual = x
+        h = rms_norm(x, layer["post_ln_w"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(_linear(layer, "gate_w", h))
+        up = _linear(layer, "up_w", h)
+        return residual + _linear(layer, "down_w", gate * up), k_cache, v_cache
+
     def decode_step(
         self,
         params: PyTree,

@@ -45,3 +45,94 @@ def test_streaming_small_feed_no_update(rng):
     stream = StreamingTranscriber(eng, update_interval_s=10.0)
     assert stream.feed(np.zeros(100, np.float32)) is None
     assert stream.committed_text == ""
+
+
+def _wide_engine(max_new=4):
+    """Tiny engine with buckets wide enough for multi-window audio."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from qwen3_asr_rs_tpu.config import tiny_test_config
+    from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+    from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
+    from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+    from test_engine_e2e import MockTokenizer
+
+    cfg = tiny_test_config()
+    text = dataclasses.replace(cfg.text, vocab_size=151936)
+    cfg = dataclasses.replace(
+        cfg, thinker_config=dataclasses.replace(
+            cfg.thinker_config, text_config=text)
+    )
+    enc_params = init_encoder_params(cfg.audio, dtype=jnp.float32)
+    dec_params = init_decoder_params(cfg.text, dtype=jnp.float32)
+    return AsrEngine(
+        model_dir=None, dtype=jnp.float32, max_new_tokens=max_new,
+        chunk_buckets=(2, 15), config=cfg,
+        params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+    )
+
+
+def _speechlike(rng, seconds):
+    """Signal with an early loud onset so the mel max stabilizes."""
+    n = int(16000 * seconds)
+    x = (rng.standard_normal(n) * 0.05).astype(np.float32)
+    x[:8000] += np.sin(2 * np.pi * 300 * np.arange(8000) / 16000).astype(
+        np.float32
+    ) * 0.8
+    return x
+
+
+def test_streaming_session_matches_offline_engine(rng):
+    """Incremental session (cached windows + chunked prefill) must emit the
+    SAME tokens as the offline engine over the same buffered audio."""
+    from qwen3_asr_rs_tpu.runtime.streaming import StreamingSession
+
+    eng = _wide_engine(max_new=4)
+    audio = _speechlike(rng, 11.0)  # 1 complete window + 3 s tail
+
+    session = StreamingSession(eng, max_new_tokens=4)
+    # feed in 2 s increments, updating each time (exercises reuse)
+    step = 32000
+    result = None
+    for off in range(0, len(audio), step):
+        session.buffer = audio[: off + step]
+        result = session.update()
+
+    offline = eng.transcribe_samples(audio)
+    assert result.raw_output == offline.raw_output
+
+
+def test_streaming_reencodes_at_most_two_windows(rng):
+    """After warm-up, each update must touch <= 2 encoder windows (the
+    newly-completed one and the partial tail) and a bounded chunk."""
+    from qwen3_asr_rs_tpu.runtime.streaming import StreamingSession
+
+    eng = _wide_engine(max_new=2)
+    audio = _speechlike(rng, 14.0)
+
+    session = StreamingSession(eng, max_new_tokens=2)
+    for sec in range(2, 15, 2):
+        session.buffer = audio[: sec * 16000]
+        session.update()
+        if sec > 2:
+            stats = session.last_update_stats
+            assert stats["windows_encoded"] <= 2, stats
+            # chunk covers at most one window + tail + prompt tail
+            assert stats["chunk_positions"] <= 2 * 104 + 40, stats
+
+
+def test_streaming_rollover_past_capacity(rng):
+    """Sessions larger than the slab must roll over, not raise (round-1
+    bug: feeds past the largest bucket failed forever)."""
+    eng = _wide_engine(max_new=2)
+    stream = StreamingTranscriber(
+        eng, update_interval_s=2.0, max_stream_seconds=8.0,
+        max_new_tokens=2,
+    )
+    for _ in range(10):  # 20 s total >> 8 s capacity
+        chunk = (rng.standard_normal(32000) * 0.1).astype(np.float32)
+        up = stream.feed(chunk)
+        assert up is not None
+    final = stream.finalize()
+    assert isinstance(final.text, str)

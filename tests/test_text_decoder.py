@@ -135,3 +135,70 @@ def test_untied_lm_head():
     hidden = dec.embed(params, jnp.asarray([[1, 2]], dtype=jnp.int32))
     logits = dec.forward_full(params, hidden, jnp.arange(2))
     assert logits.shape == (1, 2, cfg.vocab_size)
+
+
+def test_prefill_chunk_matches_full_prefill(rng):
+    """Chunked prefill (history + causal fresh block) == one-shot prefill."""
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    dec = TextDecoder(cfg, max_position=64)
+
+    ids = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (1, 12)), dtype=jnp.int32
+    )
+    hidden = dec.embed(params, ids)
+
+    full_cache = KVCache.zeros(cfg, 1, 32, dtype=jnp.float32)
+    full_logits, full_cache = dec.prefill(
+        params, hidden, jnp.arange(12), full_cache, jnp.int32(12)
+    )
+
+    # same sequence in three chunks of 5 + 4 + 3
+    cache = KVCache.zeros(cfg, 1, 32, dtype=jnp.float32)
+    off = 0
+    for n in (5, 4, 3):
+        logits, cache = dec.prefill_chunk(
+            params, hidden[:, off:off + n], jnp.int32(off), cache,
+            jnp.int32(n),
+        )
+        off += n
+
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full_logits), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache.k[:, :, :12]), np.asarray(full_cache.k[:, :, :12]),
+        atol=1e-5, rtol=1e-5,
+    )
+    # chunked cache then decodes identically
+    tok = jnp.asarray([7], jnp.int32)
+    l1, _ = dec.decode_step(params, tok, jnp.int32(12), full_cache)
+    l2, _ = dec.decode_step(params, tok, jnp.int32(12), cache)
+    np.testing.assert_allclose(
+        np.asarray(l2), np.asarray(l1), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_prefill_chunk_padded_tail(rng):
+    """Garbage chunk rows past true_len must not corrupt logits at
+    true_len-1 (streaming buckets pad the chunk)."""
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    dec = TextDecoder(cfg, max_position=64)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)), jnp.int32)
+    hidden = dec.embed(params, ids)
+
+    cache = KVCache.zeros(cfg, 1, 32, dtype=jnp.float32)
+    exact, _ = dec.prefill_chunk(
+        params, hidden, jnp.int32(0), cache, jnp.int32(8)
+    )
+    padded = jnp.concatenate(
+        [hidden, jnp.full((1, 4, hidden.shape[-1]), 99.0)], axis=1
+    )
+    cache2 = KVCache.zeros(cfg, 1, 32, dtype=jnp.float32)
+    got, _ = dec.prefill_chunk(
+        params, padded, jnp.int32(0), cache2, jnp.int32(8)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(exact), atol=1e-5, rtol=1e-5
+    )
