@@ -1,84 +1,56 @@
-"""Minimal HTTP serving endpoint (stdlib-only).
+"""Minimal HTTP serving endpoint (stdlib-only) over continuous batching.
 
 POST /transcribe with a WAV (or any decodable) body, optional
-``?language=`` query -> JSON {"language", "text"}. Requests arriving
-within ``batch_window_ms`` are coalesced into ONE batched TPU dispatch
-(the engine's transcribe_batch), which is where TPU serving throughput
-comes from. GET /healthz for liveness.
+``?language=`` and ``?max_new=`` query params -> JSON
+{"language", "text"}. GET /healthz for liveness.
+
+Scheduling is continuous batching (runtime/serving.py): requests are
+admitted into decode slots at segment boundaries and returned the moment
+their own decode finishes — a short clip is never held hostage by a long
+one, and arrivals don't wait for the previous batch to drain (both were
+round-1 weaknesses of the coalescing worker this replaces).
 
 This is deliberately dependency-free; production deployments would front
-it with a real ASGI stack, but the batching core is here.
+it with a real ASGI stack, but the scheduling core is here.
 """
 
 from __future__ import annotations
 
 import json
 import logging
-import queue
 import tempfile
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from ..audio.load import load_audio
 from .engine import AsrEngine
+from .serving import ContinuousBatcher, Request, ServingLoop
 
 logger = logging.getLogger(__name__)
 
 
-class _Request:
-    def __init__(self, samples, language):
-        self.samples = samples
-        self.language = language
-        self.event = threading.Event()
-        self.result = None
-        self.error = None
+class BatchingWorker(ServingLoop):
+    """Continuous-batching worker (name kept from the round-1 coalescer).
 
+    ``max_batch`` maps to the number of concurrent decode slots. The old
+    ``batch_window_ms`` coalescing delay is obsolete — admission happens
+    at decode-segment boundaries — and is accepted for compatibility.
+    """
 
-class BatchingWorker(threading.Thread):
-    """Coalesces concurrent requests into batched engine dispatches."""
-
-    def __init__(self, engine: AsrEngine, batch_window_ms: float = 20.0,
-                 max_batch: int = 8):
-        super().__init__(daemon=True)
+    def __init__(self, engine: AsrEngine, batch_window_ms: float = 0.0,
+                 max_batch: int = 8, segment_steps: int = 8,
+                 max_new_tokens=None):
+        batcher = ContinuousBatcher(
+            engine,
+            n_slots=max_batch,
+            segment_steps=segment_steps,
+            max_new_tokens=max_new_tokens,
+        )
+        super().__init__(batcher)
         self.engine = engine
-        self.queue: "queue.Queue[_Request]" = queue.Queue()
-        self.batch_window = batch_window_ms / 1000.0
-        self.max_batch = max_batch
-        self._stop = threading.Event()
 
-    def submit(self, req: _Request):
-        self.queue.put(req)
-
-    def stop(self):
-        self._stop.set()
-
-    def run(self):
-        while not self._stop.is_set():
-            try:
-                first = self.queue.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            batch = [first]
-            deadline = threading.Event()
-            deadline.wait(self.batch_window)
-            while len(batch) < self.max_batch:
-                try:
-                    batch.append(self.queue.get_nowait())
-                except queue.Empty:
-                    break
-            try:
-                results = self.engine.transcribe_batch(
-                    [r.samples for r in batch],
-                    [r.language for r in batch],
-                )
-                for r, res in zip(batch, results):
-                    r.result = res
-            except Exception as e:  # noqa: BLE001
-                for r in batch:
-                    r.error = e
-            for r in batch:
-                r.event.set()
+    def submit(self, req: Request) -> None:
+        self.batcher.submit(req)
 
 
 def make_handler(worker: BatchingWorker):
@@ -97,7 +69,9 @@ def make_handler(worker: BatchingWorker):
             if parsed.path != "/transcribe":
                 self._json(404, {"error": "not found"})
                 return
-            language = parse_qs(parsed.query).get("language", [None])[0]
+            qs = parse_qs(parsed.query)
+            language = qs.get("language", [None])[0]
+            max_new = qs.get("max_new", [None])[0]
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             try:
@@ -105,14 +79,15 @@ def make_handler(worker: BatchingWorker):
                     f.write(body)
                     f.flush()
                     samples = load_audio(f.name, 16000)
-                req = _Request(samples, language)
+                req = Request(
+                    samples, language,
+                    max_new_tokens=int(max_new) if max_new else None,
+                )
                 worker.submit(req)
-                req.event.wait()
-                if req.error is not None:
-                    raise req.error
+                result = req.wait()
                 self._json(200, {
-                    "language": req.result.language,
-                    "text": req.result.text,
+                    "language": result.language,
+                    "text": result.text,
                 })
             except Exception as e:  # noqa: BLE001
                 self._json(400, {"error": str(e)})
@@ -129,8 +104,8 @@ def make_handler(worker: BatchingWorker):
 
 
 def serve(engine: AsrEngine, host: str = "0.0.0.0", port: int = 8080,
-          batch_window_ms: float = 20.0, max_batch: int = 8):
-    """Run the batching HTTP server (blocking)."""
+          batch_window_ms: float = 0.0, max_batch: int = 8):
+    """Run the continuous-batching HTTP server (blocking)."""
     worker = BatchingWorker(engine, batch_window_ms, max_batch)
     worker.start()
     server = ThreadingHTTPServer((host, port), make_handler(worker))

@@ -1,0 +1,380 @@
+"""Continuous batching — the TPU serving scheduler.
+
+The offline engine's one-dispatch batch (engine.transcribe_batch) holds
+every utterance until the WHOLE batch hits EOS, and admits nothing
+mid-flight. This module replaces that with slot-based continuous
+batching, the standard LLM-serving discipline, built TPU-natively:
+
+  * a fixed pool of B decode slots shares one preallocated KV slab
+    (static shapes: one compiled decode graph, ever);
+  * decode runs in short jitted SEGMENTS of K steps; between segments the
+    host observes per-slot done flags, returns finished requests
+    immediately (per-example early return), and admits queued requests
+    into free slots;
+  * admission = one per-request prefill dispatch (mel -> encoder ->
+    inject -> decoder prefill) that writes the request's K/V block into
+    its slot of the shared slab. Prefill attends only to its own fresh
+    sequence, so slots are perfectly isolated;
+  * per-slot positions are independent (left-aligned at slab slot 0), so
+    a 4 s clip never waits on a 120 s clip's decode, and each request
+    carries its own max_new_tokens.
+
+A finished slot's stale K/V needs no cleanup: the next admission's
+prefill overwrites [0, P) and the decode mask only exposes [0, pos).
+
+The reference has no serving path at all (single-process CLI,
+src/main.rs); this exceeds it by design. Numerics match the offline
+engine exactly — one request through the batcher emits the same tokens
+as engine.transcribe_samples (pinned in tests/test_serving.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import queue
+import threading
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import feat_extract_output_length
+from ..features.mel import log_mel_from_padded, num_mel_frames, pad_waveform
+from ..models.text_decoder import KVCache
+from ..tokenizer import ENDOFTEXT_TOKEN_ID, IM_END_TOKEN_ID
+from .engine import AsrEngine, TranscribeResult
+from .prompt import AUDIO_OFFSET, build_prompt, parse_asr_output
+
+logger = logging.getLogger(__name__)
+
+PAD_TOKEN = -1  # out-buffer filler (never a valid token id)
+
+
+class Request:
+    """A queued transcription request (thread-safe completion handle)."""
+
+    def __init__(self, samples: np.ndarray, language: Optional[str] = None,
+                 max_new_tokens: Optional[int] = None):
+        self.samples = np.asarray(samples, np.float32).reshape(-1)
+        self.language = language
+        self.max_new_tokens = max_new_tokens
+        self.event = threading.Event()
+        self.result: Optional[TranscribeResult] = None
+        self.error: Optional[Exception] = None
+        self.submit_time = time.monotonic()
+        self.finish_time: Optional[float] = None
+
+    def wait(self, timeout=None) -> TranscribeResult:
+        if not self.event.wait(timeout):
+            raise TimeoutError("request did not complete in time")
+        if self.error is not None:
+            raise self.error
+        return self.result
+
+
+@dataclasses.dataclass
+class _Slot:
+    request: Optional[Request] = None
+    tokens: list = dataclasses.field(default_factory=list)
+    max_new: int = 0
+
+    @property
+    def active(self) -> bool:
+        return self.request is not None
+
+
+class ContinuousBatcher:
+    """Slot-based continuous batching over a shared KV slab."""
+
+    def __init__(
+        self,
+        engine: AsrEngine,
+        n_slots: int = 8,
+        segment_steps: int = 8,
+        max_new_tokens: Optional[int] = None,
+        max_chunks: Optional[int] = None,
+    ):
+        self.engine = engine
+        self.n_slots = n_slots
+        self.segment_steps = segment_steps
+        if max_new_tokens is None:
+            max_new_tokens = min(engine.max_new_tokens, 512)
+        self.max_new = max_new_tokens
+        if max_chunks is None:
+            max_chunks = min(engine.chunk_buckets[-1], 120)
+        self.max_chunks = max_chunks
+
+        cfg = engine.config
+        self.s_max = (
+            engine._prompt_bucket(max_chunks) + max_new_tokens + 8
+        )
+        self.cache = KVCache.zeros(
+            cfg.text, n_slots, self.s_max, dtype=engine.dtype
+        )
+        self.slots = [_Slot() for _ in range(n_slots)]
+        # per-slot device-loop state, kept host-side between segments
+        self.tok = np.zeros(n_slots, np.int32)
+        self.pos = np.zeros(n_slots, np.int32)
+        self.done = np.ones(n_slots, bool)
+
+        self.queue: "queue.Queue[Request]" = queue.Queue()
+        self._prefill_jit = {}
+        self._segment = None
+
+    # -------------------------------------------------------------- #
+    # device graphs
+
+    def _prefill_graph(self, num_chunks: int):
+        """Per-audio-bucket prefill writing into one slab slot (B == 1).
+
+        Mirrors the offline engine's left-aligned single-utterance path
+        (engine._transcribe_graph) so tokens match it exactly.
+        """
+        if num_chunks in self._prefill_jit:
+            return self._prefill_jit[num_chunks]
+        engine = self.engine
+        cfg = engine.config
+        p_bucket = engine._prompt_bucket(num_chunks)
+
+        def fn(enc_params, dec_params, wave, n_true, token_ids, true_len,
+               slab_k, slab_v, slot):
+            mel = log_mel_from_padded(
+                wave, n_true, engine.frontend.mel_filters
+            )
+            audio_embeds, n_audio = engine.encoder(enc_params, mel, n_true)
+
+            tok_embeds = engine.decoder.embed(dec_params, token_ids[None])
+            p = token_ids.shape[0]
+            hidden_dim = tok_embeds.shape[-1]
+            slots_ax = jnp.arange(p)
+            shifted = jnp.zeros((1, p, hidden_dim), tok_embeds.dtype)
+            n_copy = min(audio_embeds.shape[0], p - AUDIO_OFFSET)
+            shifted = jax.lax.dynamic_update_slice(
+                shifted,
+                audio_embeds[None, :n_copy].astype(tok_embeds.dtype),
+                (0, AUDIO_OFFSET, 0),
+            )
+            is_audio = (slots_ax >= AUDIO_OFFSET) & (
+                slots_ax < AUDIO_OFFSET + n_audio
+            )
+            hidden = jnp.where(is_audio[None, :, None], shifted, tok_embeds)
+
+            tmp = KVCache.zeros(cfg.text, 1, p, dtype=slab_k.dtype)
+            logits, tmp = engine.decoder.prefill(
+                dec_params, hidden, slots_ax, tmp, true_len
+            )
+            slab_k = jax.lax.dynamic_update_slice(
+                slab_k, tmp.k, (0, slot, 0, 0, 0)
+            )
+            slab_v = jax.lax.dynamic_update_slice(
+                slab_v, tmp.v, (0, slot, 0, 0, 0)
+            )
+            tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
+            return tok0, slab_k, slab_v
+
+        self._prefill_jit[num_chunks] = jax.jit(fn, donate_argnums=(6, 7))
+        return self._prefill_jit[num_chunks]
+
+    def _segment_graph(self):
+        """K decode steps over all slots with per-slot positions."""
+        if self._segment is not None:
+            return self._segment
+        engine = self.engine
+        k_steps = self.segment_steps
+
+        def fn(dec_params, slab_k, slab_v, tok, pos, done):
+            cache = KVCache(k=slab_k, v=slab_v)
+            out = jnp.full((self.n_slots, k_steps), PAD_TOKEN, jnp.int32)
+
+            def body(i, state):
+                cache, tok, pos, done, out = state
+                is_eos = jnp.logical_or(
+                    tok == ENDOFTEXT_TOKEN_ID, tok == IM_END_TOKEN_ID
+                )
+                done = jnp.logical_or(done, is_eos)
+                out = out.at[:, i].set(jnp.where(done, PAD_TOKEN, tok))
+                logits, cache = engine.decoder.decode_step(
+                    dec_params, tok, pos, cache
+                )
+                ntok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                tok = jnp.where(done, tok, ntok)
+                pos = jnp.where(done, pos, pos + 1)
+                return cache, tok, pos, done, out
+
+            cache, tok, pos, done, out = jax.lax.fori_loop(
+                0, k_steps, body, (cache, tok, pos, done, out)
+            )
+            return tok, pos, done, out, cache.k, cache.v
+
+        self._segment = jax.jit(fn, donate_argnums=(1, 2))
+        return self._segment
+
+    # -------------------------------------------------------------- #
+    # host scheduling
+
+    def submit(self, req: Request) -> None:
+        n_frames = num_mel_frames(len(req.samples))
+        cf = self.engine.config.audio.chunk_frames
+        if -(-n_frames // cf) > self.max_chunks:
+            raise ValueError(
+                f"audio needs {-(-n_frames // cf)} chunks, exceeding the "
+                f"server's {self.max_chunks}-chunk slots; use the offline "
+                f"engine's long-form path"
+            )
+        self.queue.put(req)
+
+    def _admit(self, slot_idx: int, req: Request) -> None:
+        engine = self.engine
+        cf = engine.config.audio.chunk_frames
+        tpc = engine.config.audio.tokens_per_chunk
+        n_frames = num_mel_frames(len(req.samples))
+        bucket = engine._pick_bucket(n_frames)
+        wave, n_true = pad_waveform(
+            req.samples, bucket_frames=bucket * cf
+        )
+        full, tail = n_true // cf, n_true % cf
+        n_audio = full * tpc + (
+            feat_extract_output_length(tail) if tail else 0
+        )
+        prompt = build_prompt(n_audio, req.language, engine.tokenizer)
+        p_bucket = engine._prompt_bucket(bucket)
+        ids = np.zeros(p_bucket, np.int32)
+        ids[: len(prompt)] = prompt
+
+        fn = self._prefill_graph(bucket)
+        tok0, k, v = fn(
+            engine.enc_params,
+            engine.dec_params,
+            jnp.asarray(wave),
+            jnp.int32(n_true),
+            jnp.asarray(ids),
+            jnp.int32(len(prompt)),
+            self.cache.k,
+            self.cache.v,
+            jnp.int32(slot_idx),
+        )
+        self.cache = KVCache(k=k, v=v)
+        slot = self.slots[slot_idx]
+        slot.request = req
+        slot.tokens = []
+        slot.max_new = min(
+            req.max_new_tokens or self.max_new, self.max_new
+        )
+        self.tok[slot_idx] = int(tok0)
+        self.pos[slot_idx] = len(prompt)
+        self.done[slot_idx] = False
+        logger.debug(
+            "admitted request into slot %d (bucket %d chunks, prompt %d)",
+            slot_idx, bucket, len(prompt),
+        )
+
+    def _finish(self, slot_idx: int) -> None:
+        slot = self.slots[slot_idx]
+        req = slot.request
+        try:
+            raw = self.engine.tokenizer.decode(slot.tokens)
+            lang, text = parse_asr_output(raw, req.language is not None)
+            req.result = TranscribeResult(
+                text=text, language=lang, raw_output=raw
+            )
+        except Exception as e:  # noqa: BLE001
+            req.error = e
+        req.finish_time = time.monotonic()
+        req.event.set()
+        slot.request = None
+        self.done[slot_idx] = True
+        logger.debug(
+            "slot %d finished with %d tokens", slot_idx, len(slot.tokens)
+        )
+
+    def step(self, block_timeout: float = 0.05) -> bool:
+        """One scheduler iteration. Returns True if any work was done."""
+        # admit as many queued requests as there are free slots
+        admitted = False
+        for i, slot in enumerate(self.slots):
+            if slot.active:
+                continue
+            try:
+                req = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            try:
+                self._admit(i, req)
+                admitted = True
+            except Exception as e:  # noqa: BLE001
+                req.error = e
+                req.event.set()
+
+        if not any(s.active for s in self.slots):
+            if not admitted:
+                # idle: block briefly for the next request
+                try:
+                    req = self.queue.get(timeout=block_timeout)
+                except queue.Empty:
+                    return False
+                try:
+                    self._admit(0, req)
+                except Exception as e:  # noqa: BLE001
+                    req.error = e
+                    req.event.set()
+                    return True
+            if not any(s.active for s in self.slots):
+                return admitted
+
+        # one decode segment over all slots
+        fn = self._segment_graph()
+        tok, pos, done, out, k, v = fn(
+            self.engine.dec_params,
+            self.cache.k,
+            self.cache.v,
+            jnp.asarray(self.tok),
+            jnp.asarray(self.pos),
+            jnp.asarray(self.done),
+        )
+        self.cache = KVCache(k=k, v=v)
+        self.tok = np.asarray(tok).copy()
+        self.pos = np.asarray(pos).copy()
+        self.done = np.asarray(done).copy()
+        out = np.asarray(out)
+
+        for i, slot in enumerate(self.slots):
+            if not slot.active:
+                continue
+            emitted = out[i][out[i] != PAD_TOKEN].tolist()
+            room = slot.max_new - len(slot.tokens)
+            slot.tokens.extend(emitted[:room])
+            if self.done[i] or len(slot.tokens) >= slot.max_new:
+                self._finish(i)
+        return True
+
+
+class ServingLoop(threading.Thread):
+    """Background thread driving a ContinuousBatcher."""
+
+    def __init__(self, batcher: ContinuousBatcher):
+        super().__init__(daemon=True)
+        self.batcher = batcher
+        self._stop = threading.Event()
+
+    def stop(self):
+        self._stop.set()
+
+    def run(self):
+        while not self._stop.is_set():
+            try:
+                self.batcher.step()
+            except Exception:  # noqa: BLE001
+                logger.exception("serving loop iteration failed")
+                # fail any in-flight requests rather than hanging clients
+                for i, slot in enumerate(self.batcher.slots):
+                    if slot.active:
+                        slot.request.error = RuntimeError(
+                            "serving loop failure"
+                        )
+                        slot.request.event.set()
+                        slot.request = None
+                        self.batcher.done[i] = True

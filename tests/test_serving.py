@@ -1,0 +1,112 @@
+"""Continuous-batching scheduler tests (synchronous, via batcher.step())."""
+
+import numpy as np
+
+from qwen3_asr_rs_tpu.runtime.serving import ContinuousBatcher, Request
+
+from test_engine_e2e import make_engine
+
+
+def _drive(batcher, until, max_iters=200):
+    for _ in range(max_iters):
+        if until():
+            return
+        batcher.step(block_timeout=0.001)
+    raise AssertionError("batcher did not converge")
+
+
+def test_single_request_matches_offline_engine(rng):
+    """One request through the batcher == engine.transcribe_samples."""
+    eng, *_ = make_engine(max_new=4)
+    batcher = ContinuousBatcher(eng, n_slots=2, segment_steps=2)
+
+    samples = (rng.standard_normal(20000) * 0.1).astype(np.float32)
+    req = Request(samples)
+    batcher.submit(req)
+    _drive(batcher, lambda: req.event.is_set())
+
+    offline = eng.transcribe_samples(samples)
+    assert req.result.raw_output == offline.raw_output
+
+
+def test_short_request_not_held_by_long(rng):
+    """Per-example early return: a request with a short decode completes
+    while a longer one is still generating (round-1: the whole batch
+    waited for its slowest member)."""
+    eng, *_ = make_engine(max_new=32)
+    batcher = ContinuousBatcher(eng, n_slots=2, segment_steps=2)
+
+    long_req = Request(
+        (rng.standard_normal(32000) * 0.1).astype(np.float32),
+        max_new_tokens=32,
+    )
+    short_req = Request(
+        (rng.standard_normal(8000) * 0.1).astype(np.float32),
+        max_new_tokens=2,
+    )
+    batcher.submit(long_req)
+    batcher.submit(short_req)
+
+    _drive(batcher, lambda: short_req.event.is_set())
+    # the long request must still be decoding when the short one returns
+    assert not long_req.event.is_set()
+    assert len(short_req.result.raw_output.split()) <= 2
+
+    _drive(batcher, lambda: long_req.event.is_set())
+    assert long_req.result is not None
+    assert long_req.finish_time > short_req.finish_time
+
+
+def test_mid_flight_admission(rng):
+    """A request arriving while another decodes is admitted at the next
+    segment boundary, not after the in-flight decode drains."""
+    eng, *_ = make_engine(max_new=32)
+    batcher = ContinuousBatcher(eng, n_slots=2, segment_steps=2)
+
+    first = Request(
+        (rng.standard_normal(16000) * 0.1).astype(np.float32),
+        max_new_tokens=32,
+    )
+    batcher.submit(first)
+    batcher.step()  # admit + first segment
+    assert not first.event.is_set()
+
+    second = Request(
+        (rng.standard_normal(16000) * 0.1).astype(np.float32),
+        max_new_tokens=2,
+    )
+    batcher.submit(second)
+    _drive(batcher, lambda: second.event.is_set())
+    assert not first.event.is_set()  # overtaken by the later, shorter req
+    _drive(batcher, lambda: first.event.is_set())
+
+
+def test_mixed_lengths_match_individual_runs(rng):
+    """Slots are isolated: concurrent mixed-bucket requests each produce
+    exactly the tokens a solo engine run produces."""
+    eng, *_ = make_engine(max_new=3)
+    batcher = ContinuousBatcher(eng, n_slots=4, segment_steps=2)
+
+    clips = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32)
+        for n in (8000, 30000, 64000, 16000)
+    ]
+    reqs = [Request(c) for c in clips]
+    for r in reqs:
+        batcher.submit(r)
+    _drive(batcher, lambda: all(r.event.is_set() for r in reqs))
+
+    for clip, r in zip(clips, reqs):
+        offline = eng.transcribe_samples(clip)
+        assert r.result.raw_output == offline.raw_output
+
+
+def test_oversized_request_rejected(rng):
+    eng, *_ = make_engine(max_new=2)  # buckets (2, 4, 8)
+    batcher = ContinuousBatcher(eng, n_slots=1, segment_steps=1)
+    import pytest
+
+    with pytest.raises(ValueError, match="chunks"):
+        batcher.submit(
+            Request(np.zeros(16000 * 20, np.float32))  # 20 s > 8-chunk max
+        )
