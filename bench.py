@@ -1,14 +1,18 @@
-"""Benchmark: Qwen3-ASR-0.6B greedy transcription throughput on one chip.
+"""Benchmark: Qwen3-ASR-0.6B greedy transcription on one chip.
 
 Measures the full fused pipeline (log-mel -> audio encoder -> prefill ->
-greedy decode loop on device) on a 30 s clip with synthetic bf16 weights at
-the exact 0.6B architecture, decoding DECODE_TOKENS tokens (a realistic
-transcript length for 30 s of speech; random weights never emit EOS, so the
-loop runs to the cap — an upper bound on real decode work, making the
-number conservative).
+greedy decode loop on device) with synthetic weights at the exact 0.6B
+architecture, in four configurations:
 
-Prints one JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  * bf16 and int8 (weight-only) precision;
+  * a 30 s clip decoding 128 tokens (throughput regime — decode-bound;
+    random weights never emit EOS, so the loop runs to the cap, an upper
+    bound on real decode work, making the number conservative), and
+  * a 4 s clip decoding 16 tokens (latency regime — prefill-dominated).
+
+Prints ONE JSON line; the headline metric stays the bf16 30 s xRT
+(comparable across rounds; int8 WER is unvalidated without real weights),
+with the other rows in "extra".
 
 The reference publishes no numbers (BASELINE.md); vs_baseline is measured
 against the north-star target of 100x real-time per chip.
@@ -22,29 +26,15 @@ import time
 
 import numpy as np
 
-AUDIO_SECONDS = 30.0
-DECODE_TOKENS = 128
 WARMUP = 1
 ITERS = 5
 NORTH_STAR_XRT = 100.0
 
 
-def main():
-    import jax
+def _mk_engine(config, params, quantize, max_new, bucket):
     import jax.numpy as jnp
 
-    from qwen3_asr_rs_tpu.config import AsrConfig, feat_extract_output_length
-    from qwen3_asr_rs_tpu.features.mel import pad_waveform
-    from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
-    from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
     from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
-    from qwen3_asr_rs_tpu.runtime.prompt import build_prompt
-
-    config = AsrConfig()  # 0.6B defaults
-    print(f"devices: {jax.devices()}", file=sys.stderr)
-
-    enc_params = init_encoder_params(config.audio, dtype=jnp.bfloat16)
-    dec_params = init_decoder_params(config.text, dtype=jnp.bfloat16)
 
     class _Tok:
         def encode(self, text):
@@ -53,24 +43,32 @@ def main():
         def decode(self, ids):
             return ""
 
-    num_chunks = int(AUDIO_SECONDS)  # 1 chunk == 1 s
-    engine = AsrEngine(
+    return AsrEngine(
         model_dir=None,
         dtype=jnp.bfloat16,
-        max_new_tokens=DECODE_TOKENS,
-        chunk_buckets=(num_chunks,),
+        max_new_tokens=max_new,
+        chunk_buckets=(bucket,),
         config=config,
-        params=(enc_params, dec_params),
+        params=params,
         tokenizer=_Tok(),
+        quantize=quantize,
     )
 
+
+def _bench_once(engine, config, seconds, num_chunks):
+    """Median wall time of the fused graph on a clip (host fetch incl.)."""
+    import jax.numpy as jnp
+
+    from qwen3_asr_rs_tpu.config import feat_extract_output_length
+    from qwen3_asr_rs_tpu.features.mel import pad_waveform
+    from qwen3_asr_rs_tpu.runtime.prompt import build_prompt
+
     rng = np.random.default_rng(0)
-    samples = (rng.standard_normal(int(16000 * AUDIO_SECONDS)) * 0.1).astype(
+    samples = (rng.standard_normal(int(16000 * seconds)) * 0.1).astype(
         np.float32
     )
     cf = config.audio.chunk_frames
     wave, n_true = pad_waveform(samples, bucket_frames=num_chunks * cf)
-
     tpc = config.audio.tokens_per_chunk
     n_audio = (n_true // cf) * tpc
     if n_true % cf:
@@ -97,7 +95,6 @@ def main():
         out, n_gen = graph(*args)
         np.asarray(out)
     n_generated = int(np.asarray(n_gen)[0])
-    print(f"compiled; generated {n_generated} tokens/run", file=sys.stderr)
 
     times = []
     for _ in range(ITERS):
@@ -105,19 +102,54 @@ def main():
         out, n_gen = graph(*args)
         np.asarray(out)
         times.append(time.perf_counter() - t0)
-
     median = sorted(times)[len(times) // 2]
-    xrt = AUDIO_SECONDS / median
-    result = {
-        "metric": "throughput_0.6B_greedy_30s_128tok",
-        "value": round(xrt, 2),
-        "unit": "audio_sec_per_sec_per_chip (xRT)",
-        "vs_baseline": round(xrt / NORTH_STAR_XRT, 3),
-    }
     print(
-        f"times: {[round(t*1000,1) for t in times]} ms, median {median*1000:.1f} ms",
+        f"  {seconds:.0f}s clip: generated {n_generated} tok/run, times "
+        f"{[round(t * 1000, 1) for t in times]} ms",
         file=sys.stderr,
     )
+    return median
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_asr_rs_tpu.config import AsrConfig
+    from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+    from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
+
+    config = AsrConfig()  # 0.6B defaults
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    enc_params = init_encoder_params(config.audio, dtype=jnp.bfloat16)
+    dec_params = init_decoder_params(config.text, dtype=jnp.bfloat16)
+    params = (enc_params, dec_params)
+
+    rows = {}
+    for quant in (None, "int8"):
+        tag = "int8" if quant else "bf16"
+        print(f"--- {tag} 30 s / 128 tok", file=sys.stderr)
+        eng = _mk_engine(config, params, quant, max_new=128, bucket=30)
+        t30 = _bench_once(eng, config, 30.0, 30)
+        rows[f"{tag}_xrt_30s_128tok"] = round(30.0 / t30, 2)
+        rows[f"{tag}_ms_30s"] = round(t30 * 1000, 1)
+        del eng
+
+        print(f"--- {tag} 4 s / 16 tok (latency)", file=sys.stderr)
+        eng = _mk_engine(config, params, quant, max_new=16, bucket=4)
+        t4 = _bench_once(eng, config, 4.0, 4)
+        rows[f"{tag}_p50_ms_4s_16tok"] = round(t4 * 1000, 1)
+        del eng
+
+    xrt = rows["bf16_xrt_30s_128tok"]
+    result = {
+        "metric": "throughput_0.6B_greedy_30s_128tok",
+        "value": xrt,
+        "unit": "audio_sec_per_sec_per_chip (xRT)",
+        "vs_baseline": round(xrt / NORTH_STAR_XRT, 3),
+        "extra": rows,
+    }
     print(json.dumps(result))
 
 

@@ -23,6 +23,29 @@ from .resample import resample_sinc
 logger = logging.getLogger(__name__)
 
 
+def sniff_format(path: str) -> str | None:
+    """Identify a container by magic bytes (for actionable errors)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+    except OSError:
+        return None
+    if len(head) < 4:
+        return None
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return "wav"
+    if head[:4] == b"fLaC":
+        return "flac"
+    if head[:4] == b"OggS":
+        return "ogg"
+    if head[:3] == b"ID3" or head[:2] in (b"\xff\xfb", b"\xff\xf3",
+                                          b"\xff\xf2", b"\xff\xfa"):
+        return "mp3"
+    if head[4:8] == b"ftyp":
+        return "m4a"
+    return None
+
+
 def load_audio(path: str | Path, target_sample_rate: int = 16000) -> np.ndarray:
     """Load an audio file as mono f32 at ``target_sample_rate``."""
     path = str(path)
@@ -64,6 +87,16 @@ def load_audio(path: str | Path, target_sample_rate: int = 16000) -> np.ndarray:
 
     from ..errors import AudioError
 
+    fmt = sniff_format(path)
+    if fmt is not None and fmt != "wav" and shutil.which("ffmpeg") is None:
+        # the reference decodes any container via libav FFI
+        # (src/audio.rs:18-132); our non-WAV path needs an ffmpeg binary
+        raise AudioError(
+            f"{path} is a {fmt.upper()} file, but no ffmpeg binary is on "
+            f"PATH and the native decoder handles WAV only. Install "
+            f"ffmpeg (e.g. `apt install ffmpeg`) or convert the file to "
+            f"WAV first. Decode attempts: {'; '.join(errors)}"
+        )
     raise AudioError(
         f"Could not decode audio file {path}; attempts: {'; '.join(errors)}"
     )

@@ -163,6 +163,29 @@ def _filtered_dataclass(cls, raw: dict, **overrides: Any):
     return cls(**kwargs)
 
 
+def synthetic_17b_config() -> AsrConfig:
+    """Full-scale Qwen3-ASR-1.7B-shaped config for on-chip benchmarking.
+
+    Text-tower shapes follow Qwen3-1.7B (hidden 2048, intermediate 6144,
+    28 layers, 16Q/8KV heads, head_dim 128, untied lm_head — the 1.7B
+    family unties it, matching the reference's lm_head fallback logic,
+    src/text_decoder.rs:71-79). The audio tower keeps the 0.6B defaults
+    with output_dim widened to the text hidden size; real deployments
+    read the exact shapes from the checkpoint's config.json, which the
+    loader parses at runtime (reference ci.yml:138-164 runs this family).
+    """
+    return AsrConfig(
+        ThinkerConfig(
+            audio_config=AudioEncoderConfig(output_dim=2048),
+            text_config=TextDecoderConfig(
+                hidden_size=2048,
+                intermediate_size=6144,
+                tie_word_embeddings=False,
+            ),
+        )
+    )
+
+
 def tiny_test_config() -> AsrConfig:
     """A miniature config with the real architecture shape, for unit tests."""
     return AsrConfig(

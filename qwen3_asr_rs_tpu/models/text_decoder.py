@@ -112,6 +112,10 @@ class TextDecoder:
                  unroll_layers: bool = False):
         self.cfg = cfg
         self.unroll_layers = unroll_layers
+        # Set by the engine when running under a GSPMD mesh: the Pallas
+        # kernels are single-device programs, so sharded graphs use the
+        # XLA paths (which GSPMD partitions) unless explicitly forced.
+        self.prefer_xla = False
         self.rotary = RotaryTable(
             head_dim=cfg.head_dim,
             rope_theta=cfg.rope_theta,
@@ -401,19 +405,18 @@ class TextDecoder:
         cache = KVCache(k=k_new, v=v_new)
         return self.logits(params, hidden)[:, 0], cache
 
-    def _fused_step_vmem_ok(self, params, b: int, cache: KVCache) -> bool:
+    def _fused_step_vmem_ok(self, params, b: int, cache: KVCache,
+                            fold_lm: bool = False) -> bool:
         """Whether the decode megakernel's blocks fit its VMEM budget.
 
-        Pallas double-buffers every per-layer block (weights + the K/V
-        slab blocks), so the footprint is 2x (layer weights + slab
-        blocks) plus the small constant blocks and the f32 hidden
-        scratch. For large slabs (e.g. 240/360-chunk buckets with
-        max_new_tokens=4096, s_max ~7-9k) this exceeds the 120 MB
-        vmem_limit_bytes in decode_layer.py and Mosaic compilation would
-        fail at runtime — fall back to the scan path instead (which has
-        the DMA attention kernel for big slabs).
+        Pallas double-buffers every per-layer weight block, the manual
+        attention DMA uses a double-buffered (2, B, BS, Hkv, D) scratch
+        pair (the slab itself stays in HBM), and lm-head folding adds a
+        double-buffered vocab tile. If the total exceeds the kernel's
+        vmem_limit_bytes Mosaic compilation would fail at runtime — fall
+        back to the scan path instead.
         """
-        from ..ops.pallas.decode_layer import VMEM_LIMIT_BYTES
+        from ..ops.pallas.decode_layer import LM_TILE, VMEM_LIMIT_BYTES
 
         cfg = self.cfg
         layers = params["layers"]
@@ -430,21 +433,33 @@ class TextDecoder:
             + 2 * h * inter     # gate_w, up_w
             + inter * h         # down_w
         )
-        slab_bytes = (
-            2  # k + v
-            * b * cache.max_len * cfg.num_key_value_heads * d
-            * jnp.dtype(cache.k.dtype).itemsize
+        slab_bytes = jnp.dtype(cache.k.dtype).itemsize
+        block_s = min(512 if b == 1 else 128, cache.max_len)
+        attn_bufs = (
+            2 * 2 * b * block_s * cfg.num_key_value_heads * d * slab_bytes
         )
-        kv_out_bytes = 2 * b * nkv_d * jnp.dtype(cache.k.dtype).itemsize
-        per_layer = w_elems * wbytes + slab_bytes + kv_out_bytes
+        kv_out_bytes = 2 * b * nkv_d * slab_bytes
+        per_layer = w_elems * wbytes + kv_out_bytes
+        lm_bufs = 0
+        if fold_lm:
+            if "lm_head_q" in params:
+                lm_bytes = 1
+            elif "lm_head" in params:
+                lm_bytes = jnp.dtype(params["lm_head"].dtype).itemsize
+            else:
+                lm_bytes = 2
+            lm_bufs = 2 * (h * LM_TILE * lm_bytes + 8 * LM_TILE * 4)
         const = (
             max(8, b) * h * 4            # f32 hidden scratch
+            + 2 * max(8, b) * 128 * 4    # argmax scratch
             + b * (h + 2 * d) * wbytes   # x, cos, sin blocks
             + 2 * 8 * max(nq_d, inter, h) * 4  # packed norms + scales
         )
-        return 2 * per_layer + const <= VMEM_LIMIT_BYTES
+        total = 2 * per_layer + attn_bufs + lm_bufs + const
+        return total <= VMEM_LIMIT_BYTES
 
-    def _use_fused_step(self, params, b: int, pos, cache: KVCache) -> bool:
+    def _use_fused_step(self, params, b: int, pos, cache: KVCache,
+                        fold_lm: bool = False) -> bool:
         """Whether the single-pallas-call decode megakernel applies.
 
         Eligibility: shared scalar write slot, stacked (possibly int8)
@@ -461,7 +476,7 @@ class TextDecoder:
             jnp.ndim(pos) == 0  # shared write slot (B=1 or aligned batch)
             and ("q_w" in params["layers"] or "q_w_q" in params["layers"])
             and "q_b" not in params["layers"]
-            and self._fused_step_vmem_ok(params, b, cache)
+            and self._fused_step_vmem_ok(params, b, cache, fold_lm)
         )
         if impl == "fused":
             return eligible
@@ -470,9 +485,105 @@ class TextDecoder:
         # D < 128 (found driving the CLI with a tiny test model on chip)
         return (
             eligible
+            and not self.prefer_xla
             and self.cfg.head_dim % 128 == 0
             and jax.default_backend() in ("tpu", "axon")
         )
+
+    def decode_step_token(
+        self,
+        params: PyTree,
+        token_ids,  # (B,) int32
+        pos,        # scalar or (B,) int32
+        cache: KVCache,
+    ):
+        """Greedy decode step emitting the NEXT TOKEN ID directly.
+
+        With ASR_FOLD_LM=1 and the megakernel eligible, the final RMSNorm
+        + lm_head matvec + argmax are folded into the same pallas_call
+        (extra vocab-tile grid steps) so no logits tensor round-trips
+        HBM. Folding is opt-in: through the tunneled v5e the per-grid-
+        step overhead exceeds the XLA matvec it replaces (measured
+        +1.0 ms/token) — re-measure on directly-attached hardware.
+        Default: decode_step + XLA argmax (identical semantics).
+        Returns (token_ids (B,) int32, cache).
+        """
+        import os
+
+        b = token_ids.shape[0]
+        if os.environ.get("ASR_FOLD_LM") == "1" and self._use_fused_step(
+            params, b, pos, cache, fold_lm=True
+        ):
+            from ..ops.pallas.decode_layer import decode_layers_fused
+
+            hidden = self.embed(params, token_ids)
+            cos, sin = self.rotary.lookup(jnp.asarray(pos)[None])
+            cos_b = jnp.broadcast_to(cos, (b, cos.shape[-1]))
+            sin_b = jnp.broadcast_to(sin, (b, sin.shape[-1]))
+            tok, ks, vs = decode_layers_fused(
+                hidden, cos_b, sin_b, params["layers"],
+                cache.k, cache.v, None, pos,
+                eps=self.cfg.rms_norm_eps,
+                interpret=_interpret_pallas(),
+                fold_lm=True,
+                final_ln_w=params["final_ln_w"],
+                lm_head=params.get("lm_head", params.get("lm_head_q")),
+                lm_scales=params.get("lm_head_s"),
+            )
+            cache = self._write_fresh(cache, ks, vs, pos)
+            return tok, cache
+        logits, cache = self.decode_step(params, token_ids, pos, cache)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+    def decode_step_aligned_token(
+        self,
+        params: PyTree,
+        token_ids,  # (B,) int32
+        slot,       # SCALAR int32: shared write slot (== P + step)
+        kv_start,   # (B,) int32
+        cache: KVCache,
+    ):
+        """Right-aligned decode_step_token (see decode_step_aligned)."""
+        import os
+
+        b = token_ids.shape[0]
+        if os.environ.get("ASR_FOLD_LM") == "1" and self._use_fused_step(
+            params, b, slot, cache, fold_lm=True
+        ):
+            from ..ops.pallas.decode_layer import decode_layers_fused
+
+            hidden = self.embed(params, token_ids)
+            positions = (slot - kv_start)[:, None]
+            cos, sin = self.rotary.lookup_batch(positions)
+            b_arr = jnp.broadcast_to(slot, (b,)).astype(jnp.int32)
+            tok, ks, vs = decode_layers_fused(
+                hidden, cos[:, 0], sin[:, 0], params["layers"],
+                cache.k, cache.v, kv_start.astype(jnp.int32), b_arr,
+                eps=self.cfg.rms_norm_eps,
+                interpret=_interpret_pallas(),
+                fold_lm=True,
+                final_ln_w=params["final_ln_w"],
+                lm_head=params.get("lm_head", params.get("lm_head_q")),
+                lm_scales=params.get("lm_head_s"),
+            )
+            cache = self._write_fresh(cache, ks, vs, slot)
+            return tok, cache
+        logits, cache = self.decode_step_aligned(
+            params, token_ids, slot, kv_start, cache
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+    def _write_fresh(self, cache: KVCache, ks, vs, slot) -> KVCache:
+        """One slab write of all layers' fresh K/V at a shared slot."""
+        k_new = jax.lax.dynamic_update_slice(
+            cache.k, ks[:, :, None].astype(cache.k.dtype),
+            (0, 0, slot, 0, 0),
+        )
+        v_new = jax.lax.dynamic_update_slice(
+            cache.v, vs[:, :, None].astype(cache.v.dtype),
+            (0, 0, slot, 0, 0),
+        )
+        return KVCache(k=k_new, v=v_new)
 
     # Per-pallas_call launch overhead measured through the tunneled v5e
     # (NOTES.md); untunneled hardware is substantially cheaper. Override
@@ -528,7 +639,11 @@ class TextDecoder:
             on_tpu = jax.default_backend() in ("tpu", "axon")
             return (
                 "kernel"
-                if (on_tpu and s_max >= self.decode_attn_threshold())
+                if (
+                    on_tpu
+                    and not self.prefer_xla
+                    and s_max >= self.decode_attn_threshold()
+                )
                 else "dense"
             )
         return impl

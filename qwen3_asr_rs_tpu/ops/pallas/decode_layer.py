@@ -1,20 +1,30 @@
 """Fused decoder DECODE STEP as one Pallas kernel (the decode megakernel).
 
 One greedy-decode step on the scan path costs ~200 small XLA ops across 28
-layers; the fused kernel computes ALL decoder layers in a single
-pallas_call:
+layers; the fused kernel computes ALL decoder layers — and optionally the
+final-norm + lm_head + argmax — in a single pallas_call:
 
-  * grid = (num_layers,): Pallas's automatic input pipelining
+  * grid = (num_layers [+ lm tiles],): Pallas's automatic input pipelining
     double-buffers the next layer's weight blocks (~30 MB/layer) behind
     the current layer's compute — a hardware prefetch the op-by-op path
-    cannot express. Measured on v5e at 0.6B: bf16 1.96 ms/token vs 2.21
-    scan; int8 weight-only 1.36 ms/token (the in-kernel dequant overlaps
-    the next layer's DMA, so decode is bound by int8 HBM bytes);
+    cannot express;
+  * the K/V slab rides the same pipeline as a per-layer resident block
+    when it fits the VMEM budget (small slabs: fully overlapped with
+    compute, measured fastest), and otherwise STAYS IN HBM
+    (memory_space=ANY) with attention manually DMA-copying only LIVE
+    blocks into a double-buffered VMEM scratch (dynamic trip count) —
+    at the 4096-token generation cap (s_max ~4800, live ~500) the
+    resident design moves ~550 MB/token of dead slab, the DMA design
+    ~60 MB (measured 2.96 vs ~3.8 ms/token end to end);
+  * optional lm-head folding (ASR_FOLD_LM=1): after the last layer,
+    extra grid steps stream lm_head vocab tiles and track a running
+    (max, argmax) over logits, so decode emits the NEXT TOKEN ID
+    directly. Tie-breaking matches jnp.argmax (first max index).
+    OFF by default: through the tunneled v5e the per-grid-step overhead
+    exceeds the XLA matvec it replaces (measured +1.0 ms/token) —
+    re-measure on directly-attached hardware;
   * the whole batch is processed per layer (weights stream ONCE per step
     regardless of batch size); hidden state lives in VMEM scratch;
-  * attention runs over the layer's KV slab block with per-example
-    [start, end) live-slot masks and the fresh K/V folded in as an
-    explicit self-term;
   * per-layer fresh K/V are kernel outputs, written back to the slab by
     the caller with one dynamic_update_slice.
 
@@ -34,12 +44,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -1e9
+INIT_M = -1e30
+INT_MAX = 2**31 - 1
 
 # The kernel's VMEM ceiling: ~30 MB of weights per layer double-buffered
-# by the pipeline, plus the per-layer slab blocks. Dispatch
-# (TextDecoder._fused_step_vmem_ok) checks a block-footprint estimate
-# against this before choosing the kernel.
+# by the pipeline, plus the attention DMA buffers and (optionally) the
+# lm_head tile buffers. Dispatch (TextDecoder._fused_step_vmem_ok) checks
+# a block-footprint estimate against this before choosing the kernel.
 VMEM_LIMIT_BYTES = 120 * 1024 * 1024
+
+# lm-head vocab tile (columns); int8 tile = H * LM_TILE bytes
+LM_TILE = 8192
 
 
 def _rms_norm(x, w, eps):
@@ -74,7 +89,7 @@ def _kernel(
     x_ref,        # (B, H) — initial hidden (read at l == 0)
     cos_ref,      # (B, D) per-example rotary
     sin_ref,      # (B, D)
-    norms_ref,    # (1, 8, H) — rows: in_ln, post_ln, q_norm, k_norm
+    norms_ref,    # (1, 8, H) — rows: in_ln, post_ln, q_norm, k_norm, final_ln
     q_w_ref,      # (1, H, NqD)
     k_w_ref,      # (1, H, NkvD)
     v_w_ref,      # (1, H, NkvD)
@@ -83,14 +98,22 @@ def _kernel(
     up_w_ref,     # (1, H, I)
     down_w_ref,   # (1, I, H)
     scales_ref,   # (1, 8, max_N) f32 — rows: q,k,v,o,gate,up,down scales
-    k_slab_ref,   # (1, B, S, Hkv, D)
-    v_slab_ref,   # (1, B, S, Hkv, D)
+    k_hbm,        # (L, B, S, Hkv, D) — HBM resident (memory_space=ANY)
+    v_hbm,        # (L, B, S, Hkv, D)
+    lm_w_ref,     # (H, LM_TILE) — lm-head vocab tile (folding only)
+    lm_s_ref,     # (8, LM_TILE) f32 — row 0: per-vocab-column scales
     # outputs
     h_out_ref,    # (B, H) — final hidden (written at l == L-1)
+    tok_out_ref,  # (B, 128) int32 — col 0: argmax token (folding only)
     k_out_ref,    # (1, B, Hkv, D) fresh K for this layer
     v_out_ref,    # (1, B, Hkv, D)
     # scratch
     h_scr,        # (B_pad, H) f32 — rows 0..B-1 hold the hidden state
+    k_buf,        # (2, B, BS, Hkv, D) attention DMA double buffer
+    v_buf,
+    sems,         # (2, 2) DMA semaphores
+    best_val,     # (B_pad, 128) f32 — running logit max (folding only)
+    best_idx,     # (B_pad, 128) int32
     *,
     eps: float,
     hkv: int,
@@ -98,9 +121,14 @@ def _kernel(
     head_dim: int,
     s_max: int,
     batch: int,
+    num_layers: int,
+    block_s: int,
+    fold_lm: bool,
+    v_true: int,
+    resident: bool,
 ):
     l = pl.program_id(0)
-    nl = pl.num_programs(0)
+    nl = num_layers
     hq = hkv * groups
     d = head_dim
     scale = d ** -0.5
@@ -109,6 +137,9 @@ def _kernel(
     @pl.when(l == 0)
     def _init():
         h_scr[:b] = x_ref[:].astype(jnp.float32)
+        if fold_lm:
+            best_val[:] = jnp.full_like(best_val, INIT_M)
+            best_idx[:] = jnp.zeros_like(best_idx)
 
     # The scan path rounds activations to the compute dtype between ops;
     # every stage here rounds the same way so tokens match.
@@ -123,113 +154,301 @@ def _kernel(
     inter = gate_w_ref.shape[-1]
     h_dim = o_w_ref.shape[-1]
 
-    # ---- attention block
-    xn = _rms_norm(h, norms_ref[0, 0][None, :], eps).astype(cdt)
-    q = _mm(xn, q_w_ref[0], sc(0, nq_d), cdt).astype(cdt)   # (B, NqD)
-    k = _mm(xn, k_w_ref[0], sc(1, nkv_d), cdt).astype(cdt)  # (B, NkvD)
-    v = _mm(xn, v_w_ref[0], sc(2, nkv_d), cdt).astype(cdt)
+    # attention bookkeeping (SMEM prefetch refs allow scalar loads only;
+    # b is static). In DMA mode the first block's copy starts before the
+    # QKV compute so it overlaps with it.
+    starts = [start_ref[bb] for bb in range(b)]
+    ends = [end_ref[bb] for bb in range(b)]
+    min_start = starts[0]
+    max_end = ends[0]
+    for bb in range(1, b):
+        min_start = jnp.minimum(min_start, starts[bb])
+        max_end = jnp.maximum(max_end, ends[bb])
+    first_blk = min_start // block_s
+    n_blocks = jnp.maximum(pl.cdiv(max_end, block_s) - first_blk, 0)
 
-    q = q.reshape(b * hq, d)
-    k = k.reshape(b * hkv, d)
-    v = v.reshape(b * hkv, d)
-    # per-head QK rms norm (rows 2/3 of the packed norm tensor, padded)
-    q = _rms_norm(q, norms_ref[0, 2, :d][None, :], eps).astype(cdt)
-    k = _rms_norm(k, norms_ref[0, 3, :d][None, :], eps).astype(cdt)
+    def blk_start(i):
+        # clamped so the copy stays in bounds; masking below uses
+        # global slot indices
+        return jnp.minimum((first_blk + i) * block_s, s_max - block_s)
 
-    # rotary (rotate-half), per-example cos/sin
-    cos = cos_ref[:].astype(jnp.float32)  # (B, D)
-    sin = sin_ref[:].astype(jnp.float32)
-    half = d // 2
-
-    def rope(t, heads):
-        tf = t.astype(jnp.float32).reshape(b, heads, d)
-        t1 = tf[..., :half]
-        t2 = tf[..., half:]
-        rot = jnp.concatenate([-t2, t1], axis=-1)
-        out = tf * cos[:, None, :] + rot * sin[:, None, :]
-        return out.reshape(b * heads, d).astype(cdt)
-
-    q = rope(q, hq)
-    k = rope(k, hkv)
-
-    k_out_ref[0] = k.reshape(b, hkv, d).astype(k_out_ref.dtype)
-    v_out_ref[0] = v.reshape(b, hkv, d).astype(v_out_ref.dtype)
-
-    # attention per example over the resident slab block
-    attn_rows = []
-    for bb in range(b):
-        qb = q[bb * hq : (bb + 1) * hq]          # (Hq, D)
-        kb = k[bb * hkv : (bb + 1) * hkv]        # (Hkv, D)
-        vb = v[bb * hkv : (bb + 1) * hkv]
-        rows = []
-        for hh in range(hkv):
-            qh = qb[hh * groups : (hh + 1) * groups]
-            kh = k_slab_ref[0, bb, :, hh, :].astype(cdt)  # (S, D)
-            rows.append(
-                jax.lax.dot_general(
-                    qh, kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        s = jnp.concatenate(rows, axis=0) * scale  # (Hq, S)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (hq, s_max), 1)
-        bad = (slot < start_ref[bb]) | (slot >= end_ref[bb])
-        s = jnp.where(bad, MASK_VALUE, s)
-
-        s_self = jnp.sum(
-            qb.reshape(hkv, groups, d).astype(jnp.float32)
-            * kb.reshape(hkv, 1, d).astype(jnp.float32),
-            axis=-1,
-        ).reshape(hq, 1) * scale
-
-        m = jnp.maximum(jnp.max(s, 1, keepdims=True), s_self)
-        p = jnp.exp(s - m)
-        p_self = jnp.exp(s_self - m)
-        denom = jnp.sum(p, 1, keepdims=True) + p_self
-        # normalize FIRST; probabilities round to cdt before the V matmul
-        # (exactly what the scan path's einsum does); self-term stays f32
-        pn = (p / denom).astype(cdt)
-        pn_self = p_self / denom
-
-        pv = []
-        for hh in range(hkv):
-            ph = pn[hh * groups : (hh + 1) * groups]
-            vh = v_slab_ref[0, bb, :, hh, :].astype(cdt)
-            pv.append(
-                jax.lax.dot_general(
-                    ph, vh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        ab = jnp.concatenate(pv, axis=0)
-        ab = ab + pn_self * jnp.repeat(
-            vb.astype(jnp.float32), groups, axis=0
+    def dma(slot, i, buf, hbm, sem_col):
+        return pltpu.make_async_copy(
+            hbm.at[l, :, pl.ds(blk_start(i), block_s)],
+            buf.at[slot],
+            sems.at[slot, sem_col],
         )
-        attn_rows.append(ab.astype(cdt).reshape(1, hq * d))
-    attn = jnp.concatenate(attn_rows, axis=0)  # (B, Hq*D)
 
-    o = _mm(attn, o_w_ref[0], sc(3, h_dim), cdt).astype(cdt)
-    h = (h.astype(cdt) + o).astype(jnp.float32)
+    if not resident:
+        @pl.when(jnp.logical_and(l < nl, n_blocks > 0))
+        def _start_first():
+            dma(0, 0, k_buf, k_hbm, 0).start()
+            dma(0, 0, v_buf, v_hbm, 1).start()
 
-    # ---- MLP block
-    xn = _rms_norm(h, norms_ref[0, 1][None, :], eps).astype(cdt)
-    gate = _mm(xn, gate_w_ref[0], sc(4, inter), cdt).astype(cdt)
-    gate = (
-        gate.astype(jnp.float32)
-        * jax.nn.sigmoid(gate.astype(jnp.float32))
-    ).astype(cdt)  # silu, rounded like the scan path
-    up = _mm(xn, up_w_ref[0], sc(5, inter), cdt).astype(cdt)
-    down = _mm(gate * up, down_w_ref[0], sc(6, h_dim), cdt).astype(cdt)
-    h = (h.astype(cdt) + down).astype(jnp.float32)
+    @pl.when(l < nl)
+    def _layer():
+        # ---- attention block
+        xn = _rms_norm(h, norms_ref[0, 0][None, :], eps).astype(cdt)
+        q = _mm(xn, q_w_ref[0], sc(0, nq_d), cdt).astype(cdt)   # (B, NqD)
+        k = _mm(xn, k_w_ref[0], sc(1, nkv_d), cdt).astype(cdt)  # (B, NkvD)
+        v = _mm(xn, v_w_ref[0], sc(2, nkv_d), cdt).astype(cdt)
 
-    h_scr[:b] = h
+        q = q.reshape(b * hq, d)
+        k = k.reshape(b * hkv, d)
+        v = v.reshape(b * hkv, d)
+        # per-head QK rms norm (rows 2/3 of the packed norm tensor, padded)
+        q = _rms_norm(q, norms_ref[0, 2, :d][None, :], eps).astype(cdt)
+        k = _rms_norm(k, norms_ref[0, 3, :d][None, :], eps).astype(cdt)
 
-    @pl.when(l == nl - 1)
-    def _finish():
-        h_out_ref[:] = h.astype(h_out_ref.dtype)
+        # rotary (rotate-half), per-example cos/sin
+        cos = cos_ref[:].astype(jnp.float32)  # (B, D)
+        sin = sin_ref[:].astype(jnp.float32)
+        half = d // 2
+
+        def rope(t, heads):
+            tf = t.astype(jnp.float32).reshape(b, heads, d)
+            t1 = tf[..., :half]
+            t2 = tf[..., half:]
+            rot = jnp.concatenate([-t2, t1], axis=-1)
+            out = tf * cos[:, None, :] + rot * sin[:, None, :]
+            return out.reshape(b * heads, d).astype(cdt)
+
+        q = rope(q, hq)
+        k = rope(k, hkv)
+
+        k_out_ref[0] = k.reshape(b, hkv, d).astype(k_out_ref.dtype)
+        v_out_ref[0] = v.reshape(b, hkv, d).astype(v_out_ref.dtype)
+
+        def _mlp_and_store(h2):
+            xn2 = _rms_norm(h2, norms_ref[0, 1][None, :], eps).astype(cdt)
+            gate = _mm(xn2, gate_w_ref[0], sc(4, inter), cdt).astype(cdt)
+            gate = (
+                gate.astype(jnp.float32)
+                * jax.nn.sigmoid(gate.astype(jnp.float32))
+            ).astype(cdt)  # silu, rounded like the scan path
+            up = _mm(xn2, up_w_ref[0], sc(5, inter), cdt).astype(cdt)
+            down = _mm(
+                gate * up, down_w_ref[0], sc(6, h_dim), cdt
+            ).astype(cdt)
+            h3 = (h2.astype(cdt) + down).astype(jnp.float32)
+            h_scr[:b] = h3
+
+            @pl.when(l == nl - 1)
+            def _finish():
+                h_out_ref[:] = h3.astype(h_out_ref.dtype)
+
+        if resident:
+            # ---- attention over the pipeline-resident slab block (same
+            # math as text_decoder._decode_layer_masked, incl. rounding)
+            attn_rows = []
+            for bb in range(b):
+                qb = q[bb * hq : (bb + 1) * hq]          # (Hq, D)
+                kb = k[bb * hkv : (bb + 1) * hkv]        # (Hkv, D)
+                vb = v[bb * hkv : (bb + 1) * hkv]
+                rows = []
+                for hh in range(hkv):
+                    qh = qb[hh * groups : (hh + 1) * groups]
+                    kh = k_hbm[0, bb, :, hh, :].astype(cdt)  # (S, D)
+                    rows.append(
+                        jax.lax.dot_general(
+                            qh, kh, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                s = jnp.concatenate(rows, axis=0) * scale  # (Hq, S)
+                slot = jax.lax.broadcasted_iota(
+                    jnp.int32, (hq, s_max), 1
+                )
+                bad = (slot < starts[bb]) | (slot >= ends[bb])
+                s = jnp.where(bad, MASK_VALUE, s)
+
+                s_self = jnp.sum(
+                    qb.reshape(hkv, groups, d).astype(jnp.float32)
+                    * kb.reshape(hkv, 1, d).astype(jnp.float32),
+                    axis=-1,
+                ).reshape(hq, 1) * scale
+
+                m = jnp.maximum(jnp.max(s, 1, keepdims=True), s_self)
+                p = jnp.exp(s - m)
+                p_self = jnp.exp(s_self - m)
+                denom = jnp.sum(p, 1, keepdims=True) + p_self
+                # normalize FIRST; probabilities round to cdt before the
+                # V matmul (exactly what the scan path's einsum does);
+                # self-term stays f32
+                pn = (p / denom).astype(cdt)
+                pn_self = p_self / denom
+
+                pv = []
+                for hh in range(hkv):
+                    ph = pn[hh * groups : (hh + 1) * groups]
+                    vh = v_hbm[0, bb, :, hh, :].astype(cdt)
+                    pv.append(
+                        jax.lax.dot_general(
+                            ph, vh, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                ab = jnp.concatenate(pv, axis=0)
+                ab = ab + pn_self * jnp.repeat(
+                    vb.astype(jnp.float32), groups, axis=0
+                )
+                attn_rows.append(ab.astype(cdt).reshape(1, hq * d))
+            attn = jnp.concatenate(attn_rows, axis=0)  # (B, Hq*D)
+
+            o = _mm(attn, o_w_ref[0], sc(3, h_dim), cdt).astype(cdt)
+            h2 = (h.astype(cdt) + o).astype(jnp.float32)
+            _mlp_and_store(h2)
+            return
+
+        # ---- DMA mode: attention over the live slab region — manual
+        # double-buffered HBM->VMEM block copies with a dynamic trip
+        # count (only live blocks are ever transferred), online softmax
+        # across blocks. Block 0's copy was started before the QKV
+        # compute above.
+        def body(i, carry):
+            m_prev, l_prev, acc = carry  # (B*Hq,1),(B*Hq,1),(B*Hq,D)
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _prefetch():
+                nxt = jax.lax.rem(i + 1, 2)
+                dma(nxt, i + 1, k_buf, k_hbm, 0).start()
+                dma(nxt, i + 1, v_buf, v_hbm, 1).start()
+
+            dma(slot, i, k_buf, k_hbm, 0).wait()
+            dma(slot, i, v_buf, v_hbm, 1).wait()
+
+            # all attention math in f32, mirroring decode_attention_dma:
+            # the step is HBM-bound so f32 dots cost nothing, and Mosaic
+            # (this jax version) miscompiles mixed bf16->f32 accumulation
+            nominal_lo = (first_blk + i) * block_s
+            gslot = blk_start(i) + jax.lax.broadcasted_iota(
+                jnp.int32, (hq, block_s), 1
+            )
+            qf = q.astype(jnp.float32)
+            s_rows = []
+            for bb in range(b):
+                rows = []
+                for hh in range(hkv):
+                    qh = qf[
+                        bb * hq + hh * groups : bb * hq + (hh + 1) * groups
+                    ]
+                    kh = k_buf[slot, bb, :, hh, :].astype(jnp.float32)
+                    rows.append(
+                        jax.lax.dot_general(
+                            qh, kh, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                s_bb = jnp.concatenate(rows, axis=0) * scale  # (Hq, BS)
+                bad = (
+                    (gslot < jnp.maximum(starts[bb], nominal_lo))
+                    | (gslot >= ends[bb])
+                )
+                s_rows.append(jnp.where(bad, MASK_VALUE, s_bb))
+            s = jnp.concatenate(s_rows, axis=0)  # (B*Hq, BS)
+
+            m_new = jnp.maximum(m_prev, jnp.max(s, 1, keepdims=True))
+            corr = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_prev * corr + jnp.sum(p, 1, keepdims=True)
+            pv_rows = []
+            for bb in range(b):
+                for hh in range(hkv):
+                    ph = p[bb * hq + hh * groups : bb * hq + (hh + 1) * groups]
+                    vh = v_buf[slot, bb, :, hh, :].astype(jnp.float32)
+                    pv_rows.append(
+                        jax.lax.dot_general(
+                            ph, vh, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+            acc = acc * corr + jnp.concatenate(pv_rows, axis=0)
+            return m_new, l_new, acc
+
+        m0 = jnp.full((b * hq, 1), INIT_M, jnp.float32)
+        l0 = jnp.zeros((b * hq, 1), jnp.float32)
+        a0 = jnp.zeros((b * hq, d), jnp.float32)
+        m_fin, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, a0))
+
+        # fold in the self term (stays f32, like the scan path)
+        s_self_rows = []
+        for bb in range(b):
+            qb = q[bb * hq : (bb + 1) * hq].astype(jnp.float32)
+            kb = k[bb * hkv : (bb + 1) * hkv].astype(jnp.float32)
+            s_self_rows.append(
+                jnp.sum(
+                    qb.reshape(hkv, groups, d) * kb.reshape(hkv, 1, d),
+                    axis=-1,
+                ).reshape(hq, 1)
+            )
+        s_self = jnp.concatenate(s_self_rows, axis=0) * scale  # (B*Hq, 1)
+        m_all = jnp.maximum(m_fin, s_self)
+        corr = jnp.exp(m_fin - m_all)
+        p_self = jnp.exp(s_self - m_all)
+        denom = l_fin * corr + p_self
+        v_self_rows = []
+        for bb in range(b):
+            vb = v[bb * hkv : (bb + 1) * hkv].astype(jnp.float32)
+            v_self_rows.append(jnp.repeat(vb, groups, axis=0))
+        v_self = jnp.concatenate(v_self_rows, axis=0)  # (B*Hq, D)
+        out = (acc * corr + p_self * v_self) / jnp.maximum(denom, 1e-30)
+        attn = out.astype(cdt).reshape(b, hq * d)
+
+        o = _mm(attn, o_w_ref[0], sc(3, h_dim), cdt).astype(cdt)
+        h2 = (h.astype(cdt) + o).astype(jnp.float32)
+        _mlp_and_store(h2)
+
+    if fold_lm:
+        @pl.when(l >= nl)
+        def _lm_tile():
+            # final RMSNorm (row 4 of the packed norms) + one vocab tile of
+            # the lm head; running first-max argmax across tiles.
+            j = l - nl
+            lm_tile = lm_w_ref.shape[-1]
+            xn = _rms_norm(h, norms_ref[0, 4][None, :], eps).astype(cdt)
+            logits = _mm(
+                xn, lm_w_ref[:], lm_s_ref[0][None, :], cdt
+            )  # (B, LM_TILE) f32
+            col = j * lm_tile + jax.lax.broadcasted_iota(
+                jnp.int32, (b, lm_tile), 1
+            )
+            logits = jnp.where(col < v_true, logits, MASK_VALUE)
+            m_t = jnp.max(logits, axis=1, keepdims=True)  # (B, 1)
+            cand = jnp.where(logits == m_t, col, INT_MAX)
+            arg_t = jnp.min(cand, axis=1, keepdims=True)  # (B, 1) global col
+            better = m_t > best_val[:b, :1]
+            best_idx[:b, :1] = jnp.where(better, arg_t, best_idx[:b, :1])
+            best_val[:b, :1] = jnp.where(better, m_t, best_val[:b, :1])
+
+            @pl.when(l == pl.num_programs(0) - 1)
+            def _emit():
+                tok_out_ref[:] = jnp.broadcast_to(
+                    best_idx[:b, :1], tok_out_ref.shape
+                )
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _pack_aux(layers, names, quantized, nl, h_dim, d, max_n):
+    """Pack per-layer scale vectors and norm vectors into tile-aligned
+    tensors (a (1, N) block fails TPU tiling rules)."""
+    scales_packed = jnp.ones((nl, 8, max_n), jnp.float32)
+    if quantized:
+        for row, n in enumerate(names):
+            sv = layers[f"{n}_s"].astype(jnp.float32)
+            scales_packed = scales_packed.at[:, row, : sv.shape[-1]].set(sv)
+
+    norms_packed = jnp.zeros((nl, 8, h_dim), layers["input_ln_w"].dtype)
+    norms_packed = norms_packed.at[:, 0].set(layers["input_ln_w"])
+    norms_packed = norms_packed.at[:, 1].set(layers["post_ln_w"])
+    norms_packed = norms_packed.at[:, 2, :d].set(layers["q_norm_w"])
+    norms_packed = norms_packed.at[:, 3, :d].set(layers["k_norm_w"])
+    return scales_packed, norms_packed
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "interpret", "fold_lm"),
+)
 def decode_layers_fused(
     x,        # (B, H) current hidden (embedded tokens)
     cos,      # (B, D)
@@ -242,10 +461,16 @@ def decode_layers_fused(
     *,
     eps: float,
     interpret: bool = False,
+    fold_lm: bool = False,
+    final_ln_w=None,   # (H,) — required when fold_lm
+    lm_head=None,      # bf16 (V, H) or int8 (H, V) with lm_scales (V,)
+    lm_scales=None,
 ):
     """Run all decoder layers for one token per example.
 
-    Returns (hidden (B, H), ks (L, B, Hkv, D), vs (L, B, Hkv, D)).
+    Returns (hidden (B, H), ks (L, B, Hkv, D), vs (L, B, Hkv, D)) — or,
+    with ``fold_lm=True``, (token_ids (B,) int32, ks, vs) where token_ids
+    is argmax over the folded final-norm + lm_head logits.
     ``layers`` may hold bf16/f32 weights (``q_w`` ...) or int8 weight-only
     quantized pairs (``q_w_q`` + ``q_w_s`` from weights/quantize.py).
     """
@@ -264,39 +489,113 @@ def decode_layers_fused(
     inter = weights["gate_w"].shape[-1]
     groups = nq_d // nkv_d
 
-    # pack the 7 per-output-channel scale vectors into one tile-aligned
-    # (L, 8, max_N) tensor (a (1, N) block fails TPU tiling rules)
     max_n = max(nq_d, nkv_d, inter, h_dim)
-    scales_packed = jnp.ones((nl, 8, max_n), jnp.float32)
-    if quantized:
-        for row, n in enumerate(names):
-            sv = layers[f"{n}_s"].astype(jnp.float32)
-            scales_packed = scales_packed.at[:, row, : sv.shape[-1]].set(sv)
+    scales_packed, norms_packed = _pack_aux(
+        layers, names, quantized, nl, h_dim, d, max_n
+    )
 
-    # pack the norm vectors the same way: rows in_ln, post_ln, q_norm, k_norm
-    norms_packed = jnp.zeros((nl, 8, h_dim), layers["input_ln_w"].dtype)
-    norms_packed = norms_packed.at[:, 0].set(layers["input_ln_w"])
-    norms_packed = norms_packed.at[:, 1].set(layers["post_ln_w"])
-    norms_packed = norms_packed.at[:, 2, :d].set(layers["q_norm_w"])
-    norms_packed = norms_packed.at[:, 3, :d].set(layers["k_norm_w"])
+    # --- lm head folding operands
+    if fold_lm:
+        norms_packed = norms_packed.at[:, 4].set(
+            jnp.broadcast_to(final_ln_w, (nl, h_dim))
+        )
+        if lm_head.dtype == jnp.int8:
+            lm_w = lm_head  # already (H, V)
+            v_true = lm_head.shape[1]
+        else:
+            lm_w = jnp.transpose(lm_head)  # (H, V)
+            v_true = lm_head.shape[0]
+        n_lm_tiles = -(-v_true // LM_TILE)
+        v_pad = n_lm_tiles * LM_TILE
+        lm_w = jnp.pad(lm_w, ((0, 0), (0, v_pad - v_true)))
+        lm_s = jnp.zeros((8, v_pad), jnp.float32)
+        if lm_scales is not None:
+            lm_s = lm_s.at[0, :v_true].set(lm_scales.astype(jnp.float32))
+        else:
+            lm_s = lm_s.at[0].set(1.0)
+    else:
+        n_lm_tiles = 0
+        v_true = 0
+        lm_w = jnp.zeros((h_dim, 128), x.dtype)
+        lm_s = jnp.ones((8, 128), jnp.float32)
 
     if start is None:
         start = jnp.zeros((b,), jnp.int32)
     start = jnp.broadcast_to(start, (b,)).astype(jnp.int32)
     end = jnp.broadcast_to(end, (b,)).astype(jnp.int32)
 
+    grid = nl + n_lm_tiles
+    block_s = min(512 if b == 1 else 128, s_max)
+
+    # Slab mode (static): resident pipelined blocks when they fit the
+    # VMEM budget (fully overlapped, fastest for small slabs), manual
+    # live-block DMA otherwise (traffic scales with live length).
+    import numpy as _np
+
+    w_block_bytes = sum(
+        int(_np.prod(w.shape[1:])) * w.dtype.itemsize
+        for w in weights.values()
+    )
+    slab_block_bytes = (
+        2 * 2 * b * s_max * hkv * d * jnp.dtype(k_slabs.dtype).itemsize
+    )
+    lm_bytes = (
+        2 * (h_dim * LM_TILE * jnp.dtype(lm_w.dtype).itemsize
+             + 8 * LM_TILE * 4)
+        if fold_lm else 0
+    )
+    misc = 6 * 1024 * 1024
+    resident = (
+        2 * w_block_bytes + slab_block_bytes + lm_bytes + misc
+        <= VMEM_LIMIT_BYTES
+    )
+    import os
+
+    mode = os.environ.get("ASR_SLAB_MODE", "auto")
+    if mode == "resident":
+        resident = True
+    elif mode == "dma":
+        resident = False
+
     def const_idx(l, *_):
         return (0, 0)
 
     def lay3(l, *_):
-        return (l, 0, 0)
+        # clamp to the last layer during lm-tile steps (same index ->
+        # Pallas re-addresses the resident block, no refetch)
+        return (jnp.minimum(l, nl - 1), 0, 0)
 
     def lay_slab(l, *_):
-        return (l, 0, 0, 0, 0)
+        return (jnp.minimum(l, nl - 1), 0, 0, 0, 0)
+
+    def lm_idx(l, *_):
+        return (0, jnp.maximum(l - nl, 0))
+
+    def kv_out_idx(l, *_):
+        return (jnp.minimum(l, nl - 1), 0, 0, 0)
+
+    if resident:
+        slab_specs = [
+            pl.BlockSpec((1, b, s_max, hkv, d), lay_slab),
+            pl.BlockSpec((1, b, s_max, hkv, d), lay_slab),
+        ]
+        dma_scratch = [
+            pltpu.VMEM((2, 1, 8, hkv, d), k_slabs.dtype),  # unused
+            pltpu.VMEM((2, 1, 8, hkv, d), v_slabs.dtype),  # unused
+        ]
+    else:
+        slab_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        dma_scratch = [
+            pltpu.VMEM((2, b, block_s, hkv, d), k_slabs.dtype),
+            pltpu.VMEM((2, b, block_s, hkv, d), v_slabs.dtype),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nl,),
+        grid=(grid,),
         in_specs=[
             pl.BlockSpec((b, h_dim), const_idx),       # x
             pl.BlockSpec((b, d), const_idx),           # cos
@@ -310,16 +609,24 @@ def decode_layers_fused(
             pl.BlockSpec((1, h_dim, inter), lay3),     # up_w
             pl.BlockSpec((1, inter, h_dim), lay3),     # down_w
             pl.BlockSpec((1, 8, max_n), lay3),         # packed scales
-            pl.BlockSpec((1, b, s_max, hkv, d), lay_slab),  # k slab
-            pl.BlockSpec((1, b, s_max, hkv, d), lay_slab),  # v slab
+            *slab_specs,                               # k/v slab
+            pl.BlockSpec((h_dim, lm_w.shape[1] if not fold_lm else LM_TILE),
+                         lm_idx),                      # lm tile
+            pl.BlockSpec((8, lm_s.shape[1] if not fold_lm else LM_TILE),
+                         lm_idx),                      # lm scales
         ],
         out_specs=(
             pl.BlockSpec((b, h_dim), const_idx),
-            pl.BlockSpec((1, b, hkv, d), lambda l, *_: (l, 0, 0, 0)),
-            pl.BlockSpec((1, b, hkv, d), lambda l, *_: (l, 0, 0, 0)),
+            pl.BlockSpec((b, 128), const_idx),
+            pl.BlockSpec((1, b, hkv, d), kv_out_idx),
+            pl.BlockSpec((1, b, hkv, d), kv_out_idx),
         ),
         scratch_shapes=[
             pltpu.VMEM((max(8, b), h_dim), jnp.float32),
+            *dma_scratch,
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((max(8, b), 128), jnp.float32),
+            pltpu.VMEM((max(8, b), 128), jnp.int32),
         ],
     )
 
@@ -331,9 +638,14 @@ def decode_layers_fused(
         head_dim=d,
         s_max=s_max,
         batch=b,
+        num_layers=nl,
+        block_s=block_s,
+        fold_lm=fold_lm,
+        v_true=v_true,
+        resident=resident,
     )
 
-    h_out, ks, vs = pl.pallas_call(
+    h_out, tok_out, ks, vs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -341,6 +653,7 @@ def decode_layers_fused(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, h_dim), x.dtype),
+            jax.ShapeDtypeStruct((b, 128), jnp.int32),
             jax.ShapeDtypeStruct((nl, b, hkv, d), k_slabs.dtype),
             jax.ShapeDtypeStruct((nl, b, hkv, d), v_slabs.dtype),
         ),
@@ -353,5 +666,8 @@ def decode_layers_fused(
         weights["gate_w"], weights["up_w"], weights["down_w"],
         scales_packed,
         k_slabs, v_slabs,
+        lm_w, lm_s,
     )
+    if fold_lm:
+        return tok_out[:, 0], ks, vs
     return h_out, ks, vs

@@ -53,6 +53,40 @@ def decoder_param_specs(tp_heads_ok: bool = True) -> dict:
     }
 
 
+def quantized_decoder_param_specs(tp_heads_ok: bool = True) -> dict:
+    """PartitionSpec pytree for an int8-quantized decoder pytree.
+
+    ``{name}_q`` carries the same (L, in, out) layout as the bf16 weight
+    it replaces, so it takes the same spec. Per-output-channel scales
+    ``{name}_s`` (L, out) shard with the OUTPUT dim: column-parallel
+    weights shard them over tp; row-parallel weights (out replicated,
+    in sharded) keep scales replicated — the per-output scale commutes
+    with the psum over input shards (s * sum(partial) == sum(s * partial)).
+    The lm_head is stored transposed (H, V) with (V,) scales, so vocab
+    parallelism moves to dim 1 / dim 0 respectively.
+    """
+    from ..weights.quantize import QUANT_LAYER_WEIGHTS
+
+    base = decoder_param_specs(tp_heads_ok)
+    col_s = P(None, "tp") if tp_heads_ok else P()
+    rep_s = P(None, None)
+    layers = {
+        k: v for k, v in base["layers"].items()
+        if k not in QUANT_LAYER_WEIGHTS
+    }
+    for name in QUANT_LAYER_WEIGHTS:
+        layers[f"{name}_q"] = base["layers"][name]
+        is_col = name in ("q_w", "k_w", "v_w", "gate_w", "up_w")
+        layers[f"{name}_s"] = col_s if is_col else rep_s
+    return {
+        "embed": base["embed"],
+        "layers": layers,
+        "final_ln_w": base["final_ln_w"],
+        "lm_head_q": P(None, "tp"),
+        "lm_head_s": P("tp"),
+    }
+
+
 def encoder_param_specs(num_heads: int, tp_size: int) -> dict:
     """PartitionSpec pytree for the encoder; TP only if heads tile onto tp."""
     ok = tp_size > 0 and num_heads % tp_size == 0

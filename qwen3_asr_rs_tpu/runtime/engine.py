@@ -114,21 +114,23 @@ class AsrEngine:
             from ..parallel.sharding import (
                 decoder_param_specs,
                 encoder_param_specs,
+                quantized_decoder_param_specs,
                 shard_params,
             )
 
             tp = mesh.shape.get("tp", 1)
-            if quantize is not None:
-                raise ValueError("mesh + quantize not yet supported")
             self.enc_params = shard_params(
                 self.enc_params, mesh,
                 encoder_param_specs(
                     config.audio.encoder_attention_heads, tp
                 ),
             )
-            self.dec_params = shard_params(
-                self.dec_params, mesh, decoder_param_specs()
+            dec_specs = (
+                quantized_decoder_param_specs()
+                if quantize == "int8"
+                else decoder_param_specs()
             )
+            self.dec_params = shard_params(self.dec_params, mesh, dec_specs)
             logger.info("Parameters sharded over mesh %s", dict(mesh.shape))
 
         if tokenizer is None:
@@ -155,6 +157,11 @@ class AsrEngine:
             self.decoder_unrolled.rotary = self.decoder.rotary
         else:
             self.decoder_unrolled = self.decoder
+        if mesh is not None:
+            # Pallas kernels are single-device programs; sharded graphs
+            # take the XLA paths so GSPMD can partition them.
+            self.decoder.prefer_xla = True
+            self.decoder_unrolled.prefer_xla = True
         self._graphs = {}
 
     # ------------------------------------------------------------------ #
@@ -259,18 +266,21 @@ class AsrEngine:
                 dec_params, hidden, slots, cache, true_len[0]
             )
 
-        # --- greedy decode loop, fully on device, per-example EOS
+        # --- greedy decode loop, fully on device, per-example EOS.
+        # The loop carries the NEXT TOKEN (not logits): decode_step_token
+        # folds final-norm + lm_head + argmax into the decode megakernel
+        # when eligible, so no logits tensor round-trips HBM per step.
         max_new = self.max_new_tokens
         out_buf = jnp.zeros((b, max_new), jnp.int32)
         barange = jnp.arange(b)
+        tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         def cond(state):
             _, _, _, done, _, step = state
             return jnp.logical_and(jnp.any(~done), step < max_new)
 
         def body(state):
-            cache, logits, n_gen, done, out_buf, step = state
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
+            cache, tok, n_gen, done, out_buf, step = state
             is_eos = jnp.logical_or(
                 tok == ENDOFTEXT_TOKEN_ID, tok == IM_END_TOKEN_ID
             )
@@ -280,19 +290,20 @@ class AsrEngine:
                 jnp.where(newly_done, keep, tok)
             )
             n_gen = jnp.where(newly_done, n_gen, n_gen + 1)
+            dec = self.decoder_unrolled
             if aligned:
                 # all examples write the SAME slot: P + step
-                logits, cache = self.decoder_unrolled.decode_step_aligned(
+                tok, cache = dec.decode_step_aligned_token(
                     dec_params, tok, jnp.int32(p) + step, kv_start, cache
                 )
             else:
-                logits, cache = self.decoder_unrolled.decode_step(
+                tok, cache = dec.decode_step_token(
                     dec_params, tok, true_len[0] + step, cache
                 )
-            return cache, logits, n_gen, newly_done, out_buf, step + 1
+            return cache, tok, n_gen, newly_done, out_buf, step + 1
 
         state = (
-            cache, logits, jnp.zeros((b,), jnp.int32),
+            cache, tok0, jnp.zeros((b,), jnp.int32),
             jnp.zeros((b,), bool), out_buf, jnp.int32(0),
         )
         _, _, n_gen, _, out_buf, _ = jax.lax.while_loop(cond, body, state)

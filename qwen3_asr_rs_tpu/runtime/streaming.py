@@ -139,10 +139,10 @@ class _StreamGraphs:
                     return out_buf, jnp.int32(0), cache.k, cache.v
 
                 pos0 = start + true_chunk
+                tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
                 def body(state):
-                    cache, logits, out_buf, n_gen, done, step = state
-                    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    cache, tok, out_buf, n_gen, done, step = state
                     is_eos = jnp.logical_or(
                         tok[0] == ENDOFTEXT_TOKEN_ID,
                         tok[0] == IM_END_TOKEN_ID,
@@ -151,16 +151,16 @@ class _StreamGraphs:
                         is_eos, out_buf, out_buf.at[step].set(tok[0])
                     )
                     n_gen = jnp.where(is_eos, n_gen, n_gen + 1)
-                    logits, cache = dec.decode_step(
+                    tok, cache = dec.decode_step_token(
                         dec_params, tok, pos0 + step, cache
                     )
-                    return cache, logits, out_buf, n_gen, is_eos, step + 1
+                    return cache, tok, out_buf, n_gen, is_eos, step + 1
 
                 def cond2(state):
                     _, _, _, _, done, step = state
                     return jnp.logical_and(~done, step < max_new)
 
-                state = (cache, logits, out_buf, jnp.int32(0),
+                state = (cache, tok0, out_buf, jnp.int32(0),
                          jnp.bool_(False), jnp.int32(0))
                 cache, _, out_buf, n_gen, _, _ = jax.lax.while_loop(
                     cond2, body, state

@@ -22,6 +22,14 @@ print(f"[bootstrap] jax {jax.__version__}, backend: "
       f"{jax.default_backend()}, devices: {jax.devices()}", file=sys.stderr)
 EOF
 
+# ------------------------------------------------------------- audio decode
+if command -v ffmpeg >/dev/null; then
+    log "ffmpeg found: any audio container is decodable"
+else
+    log "WARNING: no ffmpeg on PATH — only WAV files will decode"
+    log "         (install ffmpeg for mp3/flac/ogg/m4a support)"
+fi
+
 # ---------------------------------------------------------------- native lib
 if command -v g++ >/dev/null && command -v make >/dev/null; then
     log "building native audio decoder"

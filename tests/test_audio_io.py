@@ -145,3 +145,33 @@ def test_native_wav_load_matches_python(tmp_path, rng):
     b = load_audio_wav(str(p), 16000)
     assert len(a) == len(b)
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_non_wav_without_ffmpeg_actionable_error(tmp_path, monkeypatch):
+    """A FLAC file with no ffmpeg on PATH must name the format and the
+    fix, not fail with a generic parse error (round-1 gap: the capability
+    silently disappeared)."""
+    from qwen3_asr_rs_tpu.audio.load import sniff_format
+    from qwen3_asr_rs_tpu.errors import AudioError
+
+    p = tmp_path / "x.flac"
+    p.write_bytes(b"fLaC" + bytes(64))
+    assert sniff_format(str(p)) == "flac"
+
+    monkeypatch.setenv("PATH", str(tmp_path))  # hide any real ffmpeg
+    with pytest.raises(AudioError, match="FLAC.*ffmpeg"):
+        load_audio(str(p), 16000)
+
+
+def test_sniff_formats(tmp_path):
+    from qwen3_asr_rs_tpu.audio.load import sniff_format
+
+    cases = {
+        "a.ogg": b"OggS" + bytes(16),
+        "a.mp3": b"ID3" + bytes(16),
+        "a.m4a": bytes(4) + b"ftyp" + bytes(16),
+    }
+    for name, body in cases.items():
+        f = tmp_path / name
+        f.write_bytes(body)
+        assert sniff_format(str(f)) == name.split(".")[1]

@@ -130,8 +130,10 @@ def test_fused_multi_step_token_parity(rng, monkeypatch):
 
 
 def test_fused_step_vmem_guard():
-    """Megakernel dispatch must refuse slabs whose double-buffered blocks
-    exceed the kernel's VMEM budget (and accept 0.6B-size slabs that fit)."""
+    """Megakernel dispatch must refuse configurations whose
+    double-buffered blocks exceed the kernel's VMEM budget — and, since
+    the slab now stays in HBM (manual DMA), must ACCEPT even the 360 s
+    bucket's slab that failed the round-1 resident-block design."""
     from qwen3_asr_rs_tpu.config import AsrConfig
 
     cfg = AsrConfig().text  # real 0.6B shapes
@@ -139,17 +141,19 @@ def test_fused_step_vmem_guard():
     # fake param tree: only dtype/keys are inspected by the guard
     params = {"layers": {"q_w": jnp.zeros((1, 1), jnp.bfloat16)}}
 
-    small = KVCache.zeros(cfg, 1, 4833, dtype=jnp.bfloat16)  # 30s bucket
-    assert dec._fused_step_vmem_ok(params, 1, small)
+    for s_max in (4833, 8833):  # 30 s and 360 s buckets
+        cache = KVCache.zeros(cfg, 1, s_max, dtype=jnp.bfloat16)
+        assert dec._fused_step_vmem_ok(params, 1, cache), s_max
+        assert dec._fused_step_vmem_ok(params, 1, cache, fold_lm=True)
 
-    big = KVCache.zeros(cfg, 1, 8833, dtype=jnp.bfloat16)  # 360s bucket
-    assert not dec._fused_step_vmem_ok(params, 1, big)
-    # ... and _use_fused_step honors the guard even when forced
+    # an over-budget case (huge batch): guard refuses even when forced
+    big_b = KVCache.zeros(cfg, 64, 4833, dtype=jnp.bfloat16)
+    assert not dec._fused_step_vmem_ok(params, 64, big_b)
     import os
 
     os.environ["ASR_DECODE_IMPL"] = "fused"
     try:
-        assert not dec._use_fused_step(params, 1, jnp.int32(0), big)
+        assert not dec._use_fused_step(params, 64, jnp.int32(0), big_b)
     finally:
         del os.environ["ASR_DECODE_IMPL"]
 
@@ -165,3 +169,96 @@ def test_decode_attn_threshold_scales_with_launch_cost(monkeypatch):
     assert TextDecoder.decode_attn_threshold() >= 256  # floor
     monkeypatch.setenv("ASR_DECODE_ATTN_THRESHOLD", "9999")
     assert TextDecoder.decode_attn_threshold() == 9999  # direct override
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_fused_token_step_matches_scan_argmax(rng, monkeypatch, quantized):
+    """decode_step_token with folded final-norm+lm_head+argmax must emit
+    the same token as the scan path's decode_step + XLA argmax."""
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    if quantized:
+        from qwen3_asr_rs_tpu.weights.quantize import quantize_decoder_params
+
+        params = quantize_decoder_params(params)
+    dec = TextDecoder(cfg, max_position=256)
+
+    cache = KVCache.zeros(cfg, 1, 64, dtype=jnp.float32)
+    cache = KVCache(
+        k=jnp.asarray(rng.standard_normal(cache.k.shape) * 0.1, jnp.float32),
+        v=jnp.asarray(rng.standard_normal(cache.v.shape) * 0.1, jnp.float32),
+    )
+    tok = jnp.asarray([42], jnp.int32)
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "scan")
+    logits, cache_scan = dec.decode_step(params, tok, jnp.int32(37), cache)
+    want = int(jnp.argmax(logits, -1)[0])
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "fused")
+    monkeypatch.setenv("ASR_FOLD_LM", "1")
+    got, cache_fused = dec.decode_step_token(
+        params, tok, jnp.int32(37), cache
+    )
+    assert int(got[0]) == want
+    np.testing.assert_allclose(
+        np.asarray(cache_fused.k), np.asarray(cache_scan.k),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_fused_aligned_token_step_matches_scan(rng, monkeypatch):
+    """Aligned (batched, shared-slot) folded token step == scan argmax."""
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    dec = TextDecoder(cfg, max_position=256)
+
+    b = 3
+    cache = KVCache.zeros(cfg, b, 64, dtype=jnp.float32)
+    cache = KVCache(
+        k=jnp.asarray(rng.standard_normal(cache.k.shape) * 0.1, jnp.float32),
+        v=jnp.asarray(rng.standard_normal(cache.v.shape) * 0.1, jnp.float32),
+    )
+    tok = jnp.asarray([42, 7, 300], jnp.int32)
+    kv_start = jnp.asarray([5, 12, 0], jnp.int32)
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "scan")
+    logits, _ = dec.decode_step_aligned(
+        params, tok, jnp.int32(40), kv_start, cache
+    )
+    want = np.asarray(jnp.argmax(logits, -1))
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "fused")
+    monkeypatch.setenv("ASR_FOLD_LM", "1")
+    got, _ = dec.decode_step_aligned_token(
+        params, tok, jnp.int32(40), kv_start, cache
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("s_max,pos", [(1200, 700), (96, 5)])
+def test_fused_dma_slab_mode_matches_scan(rng, monkeypatch, s_max, pos):
+    """The manual-DMA slab mode (big generation caps) == scan path."""
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    dec = TextDecoder(cfg, max_position=2048)
+
+    cache = KVCache.zeros(cfg, 1, s_max, dtype=jnp.float32)
+    cache = KVCache(
+        k=jnp.asarray(rng.standard_normal(cache.k.shape) * 0.1, jnp.float32),
+        v=jnp.asarray(rng.standard_normal(cache.v.shape) * 0.1, jnp.float32),
+    )
+    tok = jnp.asarray([42], jnp.int32)
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "scan")
+    l_scan, c_scan = dec.decode_step(params, tok, jnp.int32(pos), cache)
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "fused")
+    monkeypatch.setenv("ASR_SLAB_MODE", "dma")
+    l_dma, c_dma = dec.decode_step(params, tok, jnp.int32(pos), cache)
+
+    np.testing.assert_allclose(
+        np.asarray(l_dma), np.asarray(l_scan), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_dma.k), np.asarray(c_scan.k), atol=1e-5, rtol=1e-5
+    )

@@ -92,3 +92,40 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@requires_8
+def test_mesh_plus_int8_matches_single_device(rng):
+    """mesh + quantize='int8' (round-1: unsupported) must emit the same
+    tokens as a single-device int8 engine."""
+    import dataclasses
+
+    from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+    from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
+    from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+    from test_engine_e2e import MockTokenizer
+
+    cfg = tiny_test_config()
+    text = dataclasses.replace(cfg.text, vocab_size=151936)
+    cfg = dataclasses.replace(
+        cfg,
+        thinker_config=dataclasses.replace(cfg.thinker_config,
+                                           text_config=text),
+    )
+    enc_params = init_encoder_params(cfg.audio, dtype=jnp.float32)
+    dec_params = init_decoder_params(cfg.text, dtype=jnp.float32)
+
+    def engine(mesh):
+        return AsrEngine(
+            model_dir=None, dtype=jnp.float32, max_new_tokens=4,
+            chunk_buckets=(2,), config=cfg,
+            params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+            quantize="int8", mesh=mesh,
+        )
+
+    samples = (rng.standard_normal(20000) * 0.1).astype(np.float32)
+    single = engine(None).transcribe_samples(samples)
+    mesh = make_mesh(n_devices=8,
+                     tp_divisor_of=cfg.text.num_key_value_heads)
+    sharded = engine(mesh).transcribe_samples(samples)
+    assert sharded.raw_output == single.raw_output
