@@ -254,9 +254,62 @@ class AsrEngine:
             )
             hidden = jnp.where(is_audio[..., None], shifted, tok_embeds)
 
-        # --- prefill
-        s_max = p + self.max_new_tokens + 1
-        cache = KVCache.zeros(cfg.text, b, s_max, dtype=self.dtype)
+        # --- prefill + greedy decode, fully on device, per-example EOS.
+        #
+        # SEGMENTED SLAB: the KV slab is sized for the generation cap,
+        # but slab traffic (and the megakernel's slab mode) scales with
+        # the slab size, not the live length — at the reference's
+        # 4096-token cap a typical <256-token transcript would pay the
+        # big-slab path every step. So decode runs in segments: start
+        # with a small slab (pipeline-resident megakernel mode), and only
+        # if generation is still going, copy the slab into the next size
+        # and continue. Each stage's while_loop runs zero iterations once
+        # every example is done, so finished utterances never touch the
+        # big slabs. The loop carries the NEXT TOKEN (not logits) so
+        # decode_step_token can fold lm_head+argmax into the megakernel.
+        import os
+
+        max_new = self.max_new_tokens
+        seg_caps = []
+        seg = min(int(os.environ.get("ASR_DECODE_SEGMENT", "256")), max_new)
+        while True:
+            seg_caps.append(min(seg, max_new))
+            if seg >= max_new:
+                break
+            seg *= 4
+
+        out_buf = jnp.zeros((b, max_new), jnp.int32)
+        barange = jnp.arange(b)
+
+        def make_body(cache_holder):
+            def body(state):
+                cache, tok, n_gen, done, out_buf, step = state
+                is_eos = jnp.logical_or(
+                    tok == ENDOFTEXT_TOKEN_ID, tok == IM_END_TOKEN_ID
+                )
+                newly_done = jnp.logical_or(done, is_eos)
+                keep = out_buf[barange, n_gen]
+                out_buf = out_buf.at[barange, n_gen].set(
+                    jnp.where(newly_done, keep, tok)
+                )
+                n_gen = jnp.where(newly_done, n_gen, n_gen + 1)
+                dec = self.decoder_unrolled
+                if aligned:
+                    # all examples write the SAME slot: P + step
+                    tok, cache = dec.decode_step_aligned_token(
+                        dec_params, tok, jnp.int32(p) + step, kv_start,
+                        cache
+                    )
+                else:
+                    tok, cache = dec.decode_step_token(
+                        dec_params, tok, true_len[0] + step, cache
+                    )
+                return cache, tok, n_gen, newly_done, out_buf, step + 1
+            return body
+
+        cache = KVCache.zeros(
+            cfg.text, b, p + seg_caps[0] + 1, dtype=self.dtype
+        )
         if aligned:
             logits, cache = self.decoder.prefill_aligned(
                 dec_params, hidden, kv_start, cache
@@ -265,48 +318,35 @@ class AsrEngine:
             logits, cache = self.decoder.prefill(
                 dec_params, hidden, slots, cache, true_len[0]
             )
-
-        # --- greedy decode loop, fully on device, per-example EOS.
-        # The loop carries the NEXT TOKEN (not logits): decode_step_token
-        # folds final-norm + lm_head + argmax into the decode megakernel
-        # when eligible, so no logits tensor round-trips HBM per step.
-        max_new = self.max_new_tokens
-        out_buf = jnp.zeros((b, max_new), jnp.int32)
-        barange = jnp.arange(b)
         tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
-        def cond(state):
-            _, _, _, done, _, step = state
-            return jnp.logical_and(jnp.any(~done), step < max_new)
-
-        def body(state):
-            cache, tok, n_gen, done, out_buf, step = state
-            is_eos = jnp.logical_or(
-                tok == ENDOFTEXT_TOKEN_ID, tok == IM_END_TOKEN_ID
-            )
-            newly_done = jnp.logical_or(done, is_eos)
-            keep = out_buf[barange, n_gen]
-            out_buf = out_buf.at[barange, n_gen].set(
-                jnp.where(newly_done, keep, tok)
-            )
-            n_gen = jnp.where(newly_done, n_gen, n_gen + 1)
-            dec = self.decoder_unrolled
-            if aligned:
-                # all examples write the SAME slot: P + step
-                tok, cache = dec.decode_step_aligned_token(
-                    dec_params, tok, jnp.int32(p) + step, kv_start, cache
-                )
-            else:
-                tok, cache = dec.decode_step_token(
-                    dec_params, tok, true_len[0] + step, cache
-                )
-            return cache, tok, n_gen, newly_done, out_buf, step + 1
 
         state = (
             cache, tok0, jnp.zeros((b,), jnp.int32),
             jnp.zeros((b,), bool), out_buf, jnp.int32(0),
         )
-        _, _, n_gen, _, out_buf, _ = jax.lax.while_loop(cond, body, state)
+        for cap in seg_caps:
+            cache = state[0]
+            if cache.max_len < p + cap + 1:  # grow into the next slab
+                bigger = KVCache.zeros(
+                    cfg.text, b, p + cap + 1, dtype=self.dtype
+                )
+                bigger = KVCache(
+                    k=jax.lax.dynamic_update_slice(
+                        bigger.k, cache.k, (0, 0, 0, 0, 0)
+                    ),
+                    v=jax.lax.dynamic_update_slice(
+                        bigger.v, cache.v, (0, 0, 0, 0, 0)
+                    ),
+                )
+                state = (bigger,) + state[1:]
+
+            def cond(state, cap=cap):
+                _, _, _, done, _, step = state
+                return jnp.logical_and(jnp.any(~done), step < cap)
+
+            state = jax.lax.while_loop(cond, make_body(None), state)
+
+        _, _, n_gen, _, out_buf, _ = state
         return out_buf, n_gen
 
     # ------------------------------------------------------------------ #

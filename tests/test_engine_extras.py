@@ -89,3 +89,46 @@ def test_unroll_decode_token_parity(rng):
     scan = eng(False).transcribe_samples(samples)
     unrolled = eng(True).transcribe_samples(samples)
     assert unrolled.raw_output == scan.raw_output
+
+
+def test_segmented_decode_token_parity(rng, monkeypatch):
+    """Multi-stage (growing-slab) decode == single-stage decode tokens.
+
+    The engine starts decode on a small slab and grows it only if
+    generation continues past each segment cap; the emitted tokens must
+    be identical to a single big-slab loop."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from qwen3_asr_rs_tpu.config import tiny_test_config
+    from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+    from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
+    from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+    from test_engine_e2e import MockTokenizer
+
+    cfg = tiny_test_config()
+    text = dataclasses.replace(cfg.text, vocab_size=151936)
+    cfg = dataclasses.replace(
+        cfg, thinker_config=dataclasses.replace(
+            cfg.thinker_config, text_config=text)
+    )
+    enc_params = init_encoder_params(cfg.audio, dtype=jnp.float32)
+    dec_params = init_decoder_params(cfg.text, dtype=jnp.float32)
+
+    def run(seg):
+        monkeypatch.setenv("ASR_DECODE_SEGMENT", str(seg))
+        eng = AsrEngine(
+            model_dir=None, dtype=jnp.float32, max_new_tokens=11,
+            chunk_buckets=(2,), config=cfg,
+            params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+        )
+        samples = (rng.standard_normal(20000) * 0.1).astype("float32")
+        single = eng.transcribe_samples(samples)
+        batch = eng.transcribe_batch([samples, samples * 0.5])
+        return single.raw_output, [r.raw_output for r in batch]
+
+    rng_state = rng.bit_generator.state
+    segmented = run(3)  # stages: 3, 11
+    rng.bit_generator.state = rng_state
+    single_stage = run(1024)  # one stage
+    assert segmented == single_stage
