@@ -1,10 +1,13 @@
 """Audio loading: any format -> mono float32 at the target sample rate.
 
 Fallback chain mirroring the reference's (src/audio.rs:7-15):
-  1. native C++ decoder+resampler (``native/audioio.cpp``) when built —
-     the analog of the reference's hound+rubato native path;
-  2. ffmpeg CLI (any container/codec) when an ffmpeg binary is on PATH —
-     the analog of the reference's libav FFI path;
+  1. native C++ decoders (``native/``) when built: WAV goes through the
+     bespoke parser + polyphase sinc resampler (the analog of the
+     reference's hound+rubato path, bit-matched to the numpy oracle);
+     other containers go through the libav shim (``avdecode.cpp``) —
+     library-level FFmpeg decode exactly like the reference's primary
+     path (src/audio.rs:18-132), no ffmpeg binary needed;
+  2. ffmpeg CLI (any container/codec) when an ffmpeg binary is on PATH;
   3. pure-numpy WAV reader + polyphase sinc resampler (always available).
 """
 
@@ -52,8 +55,24 @@ def load_audio(path: str | Path, target_sample_rate: int = 16000) -> np.ndarray:
     errors = []
 
     try:
-        from .native import native_available, native_load_wav
+        from .native import (
+            native_any_available,
+            native_available,
+            native_load_any,
+            native_load_wav,
+        )
 
+        fmt = sniff_format(path)
+        if fmt != "wav" and native_any_available():
+            # non-WAV: library-level FFmpeg decode (no binary needed)
+            samples = native_load_any(path, target_sample_rate)
+            logger.info(
+                "Loaded audio via native libav decoder: %d samples "
+                "(%.2fs at %dHz)",
+                len(samples), len(samples) / target_sample_rate,
+                target_sample_rate,
+            )
+            return samples
         if native_available():
             samples = native_load_wav(path, target_sample_rate)
             logger.info(
@@ -87,15 +106,24 @@ def load_audio(path: str | Path, target_sample_rate: int = 16000) -> np.ndarray:
 
     from ..errors import AudioError
 
+    from .native import native_any_available
+
     fmt = sniff_format(path)
-    if fmt is not None and fmt != "wav" and shutil.which("ffmpeg") is None:
-        # the reference decodes any container via libav FFI
-        # (src/audio.rs:18-132); our non-WAV path needs an ffmpeg binary
+    if (
+        fmt is not None
+        and fmt != "wav"
+        and shutil.which("ffmpeg") is None
+        and not native_any_available()
+    ):
+        # non-WAV needs either the compiled libav shim (build with
+        # `make -C native` where libav dev headers exist) or an ffmpeg
+        # binary; the reference links libav directly (src/audio.rs:18-132)
         raise AudioError(
-            f"{path} is a {fmt.upper()} file, but no ffmpeg binary is on "
-            f"PATH and the native decoder handles WAV only. Install "
-            f"ffmpeg (e.g. `apt install ffmpeg`) or convert the file to "
-            f"WAV first. Decode attempts: {'; '.join(errors)}"
+            f"{path} is a {fmt.upper()} file, but neither the native "
+            f"libav decoder nor an ffmpeg binary is available. Install "
+            f"ffmpeg (e.g. `apt install ffmpeg`), rebuild the native "
+            f"library against libav, or convert the file to WAV first. "
+            f"Decode attempts: {'; '.join(errors)}"
         )
     raise AudioError(
         f"Could not decode audio file {path}; attempts: {'; '.join(errors)}"

@@ -58,6 +58,24 @@ def _load():
             ctypes.c_int,
         ]
         lib.audioio_resample.restype = ctypes.c_int64
+        # library-level FFmpeg decode (native/avdecode.cpp) — present
+        # only when the libav dev headers existed at build time
+        if hasattr(lib, "avdec_load"):
+            lib.avdec_load.argtypes = [ctypes.c_char_p, ctypes.c_int]
+            lib.avdec_load.restype = ctypes.c_int64
+            lib.avdec_copy.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+            ]
+            lib.avdec_copy.restype = None
+            lib.avdec_error.restype = ctypes.c_char_p
+            lib.avdec_encode_test.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.c_int,
+            ]
+            lib.avdec_encode_test.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -77,6 +95,44 @@ def native_load_wav(path: str, target_rate: int) -> np.ndarray:
     out = np.empty(n, dtype=np.float32)
     lib.audioio_copy(out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
     return out
+
+
+def native_any_available() -> bool:
+    """True when the libav decode shim was compiled in."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "avdec_load")
+
+
+def native_load_any(path: str, target_rate: int) -> np.ndarray:
+    """Decode ANY container/codec via the libav shim (no ffmpeg binary)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "avdec_load"):
+        raise RuntimeError("native libav decoder not built")
+    n = lib.avdec_load(path.encode(), target_rate)
+    if n == 0:
+        err = lib.avdec_error().decode()
+        raise RuntimeError(f"native libav decode failed: {err}")
+    out = np.empty(n, dtype=np.float32)
+    lib.avdec_copy(out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+    return out
+
+
+def native_encode_test(path: str, samples: np.ndarray, rate: int) -> None:
+    """Test helper: encode mono f32 to `path` (format from extension)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "avdec_encode_test"):
+        raise RuntimeError("native libav encoder not built")
+    x = np.ascontiguousarray(samples, dtype=np.float32)
+    ok = lib.avdec_encode_test(
+        path.encode(),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(x),
+        rate,
+    )
+    if not ok:
+        raise RuntimeError(
+            f"native encode failed: {lib.avdec_error().decode()}"
+        )
 
 
 def native_resample(samples: np.ndarray, from_rate: int, to_rate: int):

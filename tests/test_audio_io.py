@@ -148,9 +148,10 @@ def test_native_wav_load_matches_python(tmp_path, rng):
 
 
 def test_non_wav_without_ffmpeg_actionable_error(tmp_path, monkeypatch):
-    """A FLAC file with no ffmpeg on PATH must name the format and the
+    """A FLAC file with no decoder available must name the format and the
     fix, not fail with a generic parse error (round-1 gap: the capability
     silently disappeared)."""
+    from qwen3_asr_rs_tpu.audio import native as native_mod
     from qwen3_asr_rs_tpu.audio.load import sniff_format
     from qwen3_asr_rs_tpu.errors import AudioError
 
@@ -159,8 +160,57 @@ def test_non_wav_without_ffmpeg_actionable_error(tmp_path, monkeypatch):
     assert sniff_format(str(p)) == "flac"
 
     monkeypatch.setenv("PATH", str(tmp_path))  # hide any real ffmpeg
+    monkeypatch.setattr(
+        native_mod, "native_any_available", lambda: False
+    )  # simulate a build without the libav shim
     with pytest.raises(AudioError, match="FLAC.*ffmpeg"):
         load_audio(str(p), 16000)
+
+
+requires_libav = pytest.mark.skipif(
+    not native.native_any_available(), reason="libav shim not built"
+)
+
+
+@requires_libav
+@pytest.mark.parametrize("ext,atol", [("flac", 1e-4), ("ogg", 0.05)])
+def test_native_libav_roundtrip(tmp_path, rng, ext, atol):
+    """Encode a real compressed fixture with the libav shim, then decode
+    it through load_audio WITHOUT any ffmpeg binary on PATH — the
+    library-level decode path the reference gets via its libav FFI."""
+    import os
+
+    t = np.arange(16000) / 16000
+    x = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    p = tmp_path / f"tone.{ext}"
+    native.native_encode_test(str(p), x, 16000)
+    assert p.stat().st_size > 1000
+
+    old_path = os.environ.get("PATH", "")
+    os.environ["PATH"] = str(tmp_path)  # no ffmpeg binary reachable
+    try:
+        y = load_audio(str(p), 16000)
+    finally:
+        os.environ["PATH"] = old_path
+    assert abs(len(y) - len(x)) < 1600
+    m = min(len(x), len(y))
+    # compare mid-signal (codec delay/taper at the edges)
+    np.testing.assert_allclose(y[2000:m - 2000], x[2000:m - 2000],
+                               atol=max(atol, 0.02))
+
+
+@requires_libav
+def test_native_libav_resamples(tmp_path, rng):
+    """24 kHz FLAC decodes to 16 kHz mono through the shim's swresample."""
+    t = np.arange(24000) / 24000
+    x = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = tmp_path / "t24.flac"
+    native.native_encode_test(str(p), x, 24000)
+    y = native.native_load_any(str(p), 16000)
+    assert abs(len(y) - 16000) < 200
+    spec = np.abs(np.fft.rfft(y[500:-500] * np.hanning(len(y) - 1000)))
+    freqs = np.fft.rfftfreq(len(y) - 1000, 1 / 16000)
+    assert abs(freqs[np.argmax(spec)] - 440) < 3
 
 
 def test_sniff_formats(tmp_path):
