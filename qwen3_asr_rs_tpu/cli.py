@@ -24,12 +24,16 @@ USAGE = """\
 Qwen3 ASR (TPU-native) - Automatic Speech Recognition
 
 Usage: asr <model_path> <audio_file> [language]
+       asr <model_path> <audio_file>... [--language LANG]
 
 Arguments:
   model_path   Path to the Qwen3-ASR model directory
-  audio_file   Path to the input audio file (WAV natively; any format when
-               an ffmpeg binary is on PATH)
-  language     Optional: force language (e.g., chinese, english, japanese)
+  audio_file   Path to the input audio file (WAV and, via the native
+               libav decoder or an ffmpeg binary, any other format)
+  language     Optional: force language (e.g., chinese, english, japanese).
+               With a single audio file the third positional argument is
+               the language (exact reference semantics); with several
+               audio files (one batched TPU dispatch) use --language.
 
 The audio file will be automatically converted to mono 16kHz f32 for the
 model.
@@ -62,19 +66,39 @@ def main(argv=None) -> int:
         return 1
 
     model_path = argv[0]
-    # Reference-compatible: `asr <model> <audio> [language]`. Extension:
-    # several audio files may be given (transcribed as ONE batched device
-    # dispatch); the first trailing arg that is not an existing file is
-    # the forced language.
-    audio_files = []
+    # Reference-compatible positional contract (src/main.rs:37-39):
+    # `asr <model> <audio> [language]`. Extension: several audio files
+    # (one batched TPU dispatch) with `--language LANG` to force a
+    # language unambiguously. The positional language applies only in
+    # the exact reference shape (two trailing args, the second not an
+    # existing file); the one genuinely ambiguous case — a file named
+    # like a language — gets a warning instead of a silent guess.
     language = None
-    for arg in argv[1:]:
-        if Path(arg).exists():
-            audio_files.append(arg)
-        elif language is None and audio_files:
-            language = arg
+    rest = []
+    it = iter(argv[1:])
+    for arg in it:
+        if arg in ("--language", "-l"):
+            language = next(it, None)
+            if language is None:
+                print("Error: --language needs a value", file=sys.stderr)
+                return 1
+        elif arg.startswith("--language="):
+            language = arg.split("=", 1)[1]
         else:
-            print(f"Error: Audio file not found: {arg}", file=sys.stderr)
+            rest.append(arg)
+    if language is None and len(rest) == 2:
+        if not Path(rest[1]).exists():
+            language = rest.pop()
+        elif "." not in Path(rest[1]).name:
+            logging.getLogger("asr").warning(
+                "treating %r as an audio file because it exists; pass "
+                "--language %s if you meant to force a language",
+                rest[1], rest[1],
+            )
+    audio_files = rest
+    for f in audio_files:
+        if not Path(f).exists():
+            print(f"Error: Audio file not found: {f}", file=sys.stderr)
             return 1
 
     if not Path(model_path).exists():

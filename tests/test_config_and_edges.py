@@ -151,3 +151,30 @@ def test_feat_extract_matches_conv_arithmetic():
             max(frames, 100)
         )
     assert feat_extract_output_length(100) == conv_stem_output_time(100)
+
+
+def test_cli_language_flag_parsing(tmp_path, capsys):
+    """--language works anywhere; positional language only in the exact
+    reference shape; a 3rd arg naming an existing FILE joins the batch
+    (with a warning) instead of silently flipping to a language."""
+    from qwen3_asr_rs_tpu.cli import main
+
+    # missing --language value
+    rc = main([str(tmp_path), "a.wav", "--language"])
+    assert rc == 1
+    assert "--language needs a value" in capsys.readouterr().err
+
+    # nonexistent audio with explicit --language: audio-not-found error,
+    # NOT language misparse
+    rc = main([str(tmp_path), str(tmp_path / "no.wav"), "-l", "chinese"])
+    assert rc == 1
+    assert "Audio file not found" in capsys.readouterr().err
+
+    # positional language (reference shape): second trailing arg is not
+    # a file -> treated as language -> engine load proceeds and fails on
+    # the model dir, not on an audio lookup
+    wav = tmp_path / "x.wav"
+    wav.write_bytes(b"RIFF\0\0\0\0WAVE")
+    rc = main([str(tmp_path / "nomodel"), str(wav), "english"])
+    assert rc == 1
+    assert "Model directory not found" in capsys.readouterr().err
