@@ -15,6 +15,12 @@ batching, the standard LLM-serving discipline, built TPU-natively:
     inject -> decoder prefill) that writes the request's K/V block into
     its slot of the shared slab. Prefill attends only to its own fresh
     sequence, so slots are perfectly isolated;
+  * LONG prompts are admitted in CHUNKS (prefill_chunk_tokens): one
+    encode+inject dispatch produces the hidden sequence, then bounded
+    decoder.prefill_chunk dispatches (interleaved with decode segments)
+    fill a per-admission temp cache, committed to the slab with one
+    in-place write. A 2-minute clip therefore never stalls active
+    decodes for more than ~one chunk's prefill between segments;
   * per-slot positions are independent (left-aligned at slab slot 0), so
     a 4 s clip never waits on a 120 s clip's decode, and each request
     carries its own max_new_tokens.
@@ -87,6 +93,18 @@ class _Slot:
         return self.request is not None
 
 
+@dataclasses.dataclass
+class _PrefillJob:
+    """In-progress chunked admission: hidden sequence + temp KV cache."""
+
+    hidden: jax.Array      # (1, p_pad, H) injected embeddings
+    tmp: KVCache           # (L, 1, p_pad, Hkv, D) per-admission cache
+    prompt_len: int
+    bucket: int
+    cursor: int = 0
+    tok0: int = 0
+
+
 class ContinuousBatcher:
     """Slot-based continuous batching over a shared KV slab."""
 
@@ -97,10 +115,14 @@ class ContinuousBatcher:
         segment_steps: int = 8,
         max_new_tokens: Optional[int] = None,
         max_chunks: Optional[int] = None,
+        prefill_chunk_tokens: Optional[int] = 256,
     ):
         self.engine = engine
         self.n_slots = n_slots
         self.segment_steps = segment_steps
+        # Prompts longer than this are prefilled in chunks interleaved
+        # with decode segments (None = always one monolithic dispatch).
+        self.prefill_chunk_tokens = prefill_chunk_tokens
         if max_new_tokens is None:
             max_new_tokens = min(engine.max_new_tokens, 512)
         self.max_new = max_new_tokens
@@ -122,7 +144,11 @@ class ContinuousBatcher:
         self.done = np.ones(n_slots, bool)
 
         self.queue: "queue.Queue[Request]" = queue.Queue()
+        self.prefilling: dict[int, _PrefillJob] = {}
         self._prefill_jit = {}
+        self._encode_jit = {}
+        self._chunk_jit = {}
+        self._commit_jit = {}
         self._segment = None
 
     # -------------------------------------------------------------- #
@@ -138,31 +164,14 @@ class ContinuousBatcher:
             return self._prefill_jit[num_chunks]
         engine = self.engine
         cfg = engine.config
-        p_bucket = engine._prompt_bucket(num_chunks)
 
         def fn(enc_params, dec_params, wave, n_true, token_ids, true_len,
                slab_k, slab_v, slot):
-            mel = log_mel_from_padded(
-                wave, n_true, engine.frontend.mel_filters
+            hidden = self._inject(
+                enc_params, dec_params, wave, n_true, token_ids
             )
-            audio_embeds, n_audio = engine.encoder(enc_params, mel, n_true)
-
-            tok_embeds = engine.decoder.embed(dec_params, token_ids[None])
             p = token_ids.shape[0]
-            hidden_dim = tok_embeds.shape[-1]
             slots_ax = jnp.arange(p)
-            shifted = jnp.zeros((1, p, hidden_dim), tok_embeds.dtype)
-            n_copy = min(audio_embeds.shape[0], p - AUDIO_OFFSET)
-            shifted = jax.lax.dynamic_update_slice(
-                shifted,
-                audio_embeds[None, :n_copy].astype(tok_embeds.dtype),
-                (0, AUDIO_OFFSET, 0),
-            )
-            is_audio = (slots_ax >= AUDIO_OFFSET) & (
-                slots_ax < AUDIO_OFFSET + n_audio
-            )
-            hidden = jnp.where(is_audio[None, :, None], shifted, tok_embeds)
-
             tmp = KVCache.zeros(cfg.text, 1, p, dtype=slab_k.dtype)
             logits, tmp = engine.decoder.prefill(
                 dec_params, hidden, slots_ax, tmp, true_len
@@ -178,6 +187,92 @@ class ContinuousBatcher:
 
         self._prefill_jit[num_chunks] = jax.jit(fn, donate_argnums=(6, 7))
         return self._prefill_jit[num_chunks]
+
+    def _inject(self, enc_params, dec_params, wave, n_true, token_ids):
+        """mel -> encoder -> token embeddings with audio injection.
+
+        Returns hidden (1, P, H); shared by the monolithic and chunked
+        admission graphs (mirrors engine._transcribe_graph injection).
+        """
+        engine = self.engine
+        mel = log_mel_from_padded(wave, n_true, engine.frontend.mel_filters)
+        audio_embeds, n_audio = engine.encoder(enc_params, mel, n_true)
+
+        tok_embeds = engine.decoder.embed(dec_params, token_ids[None])
+        p = token_ids.shape[0]
+        hidden_dim = tok_embeds.shape[-1]
+        slots_ax = jnp.arange(p)
+        shifted = jnp.zeros((1, p, hidden_dim), tok_embeds.dtype)
+        n_copy = min(audio_embeds.shape[0], p - AUDIO_OFFSET)
+        shifted = jax.lax.dynamic_update_slice(
+            shifted,
+            audio_embeds[None, :n_copy].astype(tok_embeds.dtype),
+            (0, AUDIO_OFFSET, 0),
+        )
+        is_audio = (slots_ax >= AUDIO_OFFSET) & (
+            slots_ax < AUDIO_OFFSET + n_audio
+        )
+        return jnp.where(is_audio[None, :, None], shifted, tok_embeds)
+
+    def _encode_graph(self, num_chunks: int):
+        """Chunked-admission stage 1: encode + inject, padded so prefill
+        chunks of ``prefill_chunk_tokens`` tile the sequence exactly."""
+        if num_chunks in self._encode_jit:
+            return self._encode_jit[num_chunks]
+        engine = self.engine
+        c = self.prefill_chunk_tokens
+        p_bucket = engine._prompt_bucket(num_chunks)
+        p_pad = -(-p_bucket // c) * c
+
+        def fn(enc_params, dec_params, wave, n_true, token_ids):
+            hidden = self._inject(
+                enc_params, dec_params, wave, n_true, token_ids
+            )
+            return jnp.pad(hidden, ((0, 0), (0, p_pad - p_bucket), (0, 0)))
+
+        self._encode_jit[num_chunks] = jax.jit(fn)
+        return self._encode_jit[num_chunks]
+
+    def _chunk_fn(self):
+        """Chunked-admission stage 2: ONE bounded prefill chunk into the
+        per-admission temp cache (decoder.prefill_chunk semantics). The
+        returned token is only meaningful on the chunk containing the
+        prompt's last position."""
+        if self._chunk_jit.get("fn") is None:
+            engine = self.engine
+            c = self.prefill_chunk_tokens
+
+            def fn(dec_params, hidden, start, tmp_k, tmp_v, true_in_chunk):
+                chunk = jax.lax.dynamic_slice(
+                    hidden, (0, start, 0), (1, c, hidden.shape[-1])
+                )
+                logits, tmp = engine.decoder.prefill_chunk(
+                    dec_params, chunk, start,
+                    KVCache(k=tmp_k, v=tmp_v), true_in_chunk,
+                )
+                tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
+                return tok0, tmp.k, tmp.v
+
+            self._chunk_jit["fn"] = jax.jit(fn, donate_argnums=(3, 4))
+        return self._chunk_jit["fn"]
+
+    def _commit_fn(self):
+        """Chunked-admission stage 3: one in-place write of the finished
+        temp cache into the slot's region of the shared slab."""
+        if self._commit_jit.get("fn") is None:
+
+            def fn(tmp_k, tmp_v, slab_k, slab_v, slot):
+                p_keep = min(tmp_k.shape[2], slab_k.shape[2])
+                slab_k = jax.lax.dynamic_update_slice(
+                    slab_k, tmp_k[:, :, :p_keep], (0, slot, 0, 0, 0)
+                )
+                slab_v = jax.lax.dynamic_update_slice(
+                    slab_v, tmp_v[:, :, :p_keep], (0, slot, 0, 0, 0)
+                )
+                return slab_k, slab_v
+
+            self._commit_jit["fn"] = jax.jit(fn, donate_argnums=(2, 3))
+        return self._commit_jit["fn"]
 
     def _segment_graph(self):
         """K decode steps over all slots with per-slot positions."""
@@ -227,7 +322,8 @@ class ContinuousBatcher:
             )
         self.queue.put(req)
 
-    def _admit(self, slot_idx: int, req: Request) -> None:
+    def _prepare(self, req: Request):
+        """Host-side admission prep: bucket, padded wave, prompt ids."""
         engine = self.engine
         cf = engine.config.audio.chunk_frames
         tpc = engine.config.audio.tokens_per_chunk
@@ -244,7 +340,23 @@ class ContinuousBatcher:
         p_bucket = engine._prompt_bucket(bucket)
         ids = np.zeros(p_bucket, np.int32)
         ids[: len(prompt)] = prompt
+        return bucket, wave, n_true, ids, len(prompt)
 
+    def _admit(self, slot_idx: int, req: Request) -> None:
+        bucket, wave, n_true, ids, prompt_len = self._prepare(req)
+        c = self.prefill_chunk_tokens
+        if c is not None and prompt_len > c:
+            self._start_chunked(
+                slot_idx, req, bucket, wave, n_true, ids, prompt_len
+            )
+        else:
+            self._admit_monolithic(
+                slot_idx, req, bucket, wave, n_true, ids, prompt_len
+            )
+
+    def _admit_monolithic(self, slot_idx, req, bucket, wave, n_true, ids,
+                          prompt_len) -> None:
+        engine = self.engine
         fn = self._prefill_graph(bucket)
         tok0, k, v = fn(
             engine.enc_params,
@@ -252,7 +364,7 @@ class ContinuousBatcher:
             jnp.asarray(wave),
             jnp.int32(n_true),
             jnp.asarray(ids),
-            jnp.int32(len(prompt)),
+            jnp.int32(prompt_len),
             self.cache.k,
             self.cache.v,
             jnp.int32(slot_idx),
@@ -265,12 +377,75 @@ class ContinuousBatcher:
             req.max_new_tokens or self.max_new, self.max_new
         )
         self.tok[slot_idx] = int(tok0)
-        self.pos[slot_idx] = len(prompt)
+        self.pos[slot_idx] = prompt_len
         self.done[slot_idx] = False
         logger.debug(
             "admitted request into slot %d (bucket %d chunks, prompt %d)",
-            slot_idx, bucket, len(prompt),
+            slot_idx, bucket, prompt_len,
         )
+
+    def _start_chunked(self, slot_idx, req, bucket, wave, n_true, ids,
+                       prompt_len) -> None:
+        """Begin chunked admission: encode + inject now, prefill later.
+
+        The slot is reserved (not re-admittable) but stays out of decode
+        (done flag) until _advance_prefill commits the finished cache.
+        """
+        engine = self.engine
+        hidden = self._encode_graph(bucket)(
+            engine.enc_params,
+            engine.dec_params,
+            jnp.asarray(wave),
+            jnp.int32(n_true),
+            jnp.asarray(ids),
+        )
+        tmp = KVCache.zeros(
+            engine.config.text, 1, hidden.shape[1], dtype=engine.dtype
+        )
+        slot = self.slots[slot_idx]
+        slot.request = req
+        slot.tokens = []
+        slot.max_new = min(
+            req.max_new_tokens or self.max_new, self.max_new
+        )
+        self.done[slot_idx] = True  # masked out of decode until commit
+        self.prefilling[slot_idx] = _PrefillJob(
+            hidden=hidden, tmp=tmp, prompt_len=prompt_len, bucket=bucket
+        )
+        logger.debug(
+            "slot %d chunked admission started (prompt %d, chunk %d)",
+            slot_idx, prompt_len, self.prefill_chunk_tokens,
+        )
+
+    def _advance_prefill(self, slot_idx: int) -> None:
+        """Run ONE bounded prefill chunk; commit to the slab when done."""
+        job = self.prefilling[slot_idx]
+        c = self.prefill_chunk_tokens
+        true_in = min(c, job.prompt_len - job.cursor)
+        tok0, k, v = self._chunk_fn()(
+            self.engine.dec_params,
+            job.hidden,
+            jnp.int32(job.cursor),
+            job.tmp.k,
+            job.tmp.v,
+            jnp.int32(true_in),
+        )
+        job.tmp = KVCache(k=k, v=v)
+        job.cursor += c
+        if job.cursor >= job.prompt_len:
+            sk, sv = self._commit_fn()(
+                job.tmp.k, job.tmp.v, self.cache.k, self.cache.v,
+                jnp.int32(slot_idx),
+            )
+            self.cache = KVCache(k=sk, v=sv)
+            self.tok[slot_idx] = int(tok0)
+            self.pos[slot_idx] = job.prompt_len
+            self.done[slot_idx] = False
+            del self.prefilling[slot_idx]
+            logger.debug(
+                "slot %d prefill committed (%d prompt tokens)",
+                slot_idx, job.prompt_len,
+            )
 
     def _finish(self, slot_idx: int) -> None:
         slot = self.slots[slot_idx]
@@ -325,6 +500,25 @@ class ContinuousBatcher:
             if not any(s.active for s in self.slots):
                 return admitted
 
+        # advance each mid-admission slot by ONE bounded prefill chunk, so
+        # a long prompt never stalls decoding slots for more than a chunk
+        for i in list(self.prefilling):
+            try:
+                self._advance_prefill(i)
+            except Exception as e:  # noqa: BLE001
+                job_req = self.slots[i].request
+                job_req.error = e
+                job_req.event.set()
+                self.slots[i].request = None
+                del self.prefilling[i]
+                self.done[i] = True
+
+        if not any(
+            s.active and i not in self.prefilling
+            for i, s in enumerate(self.slots)
+        ):
+            return True  # only mid-prefill work this iteration
+
         # one decode segment over all slots
         fn = self._segment_graph()
         tok, pos, done, out, k, v = fn(
@@ -342,7 +536,7 @@ class ContinuousBatcher:
         out = np.asarray(out)
 
         for i, slot in enumerate(self.slots):
-            if not slot.active:
+            if not slot.active or i in self.prefilling:
                 continue
             emitted = out[i][out[i] != PAD_TOKEN].tolist()
             room = slot.max_new - len(slot.tokens)
@@ -358,13 +552,15 @@ class ServingLoop(threading.Thread):
     def __init__(self, batcher: ContinuousBatcher):
         super().__init__(daemon=True)
         self.batcher = batcher
-        self._stop = threading.Event()
+        # NOT named _stop: Thread's internals call a private _stop()
+        # method during join(), which an Event attribute would shadow.
+        self._stop_event = threading.Event()
 
     def stop(self):
-        self._stop.set()
+        self._stop_event.set()
 
     def run(self):
-        while not self._stop.is_set():
+        while not self._stop_event.is_set():
             try:
                 self.batcher.step()
             except Exception:  # noqa: BLE001
@@ -378,3 +574,4 @@ class ServingLoop(threading.Thread):
                         slot.request.event.set()
                         slot.request = None
                         self.batcher.done[i] = True
+                self.batcher.prefilling.clear()

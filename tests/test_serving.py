@@ -101,6 +101,81 @@ def test_mixed_lengths_match_individual_runs(rng):
         assert r.result.raw_output == offline.raw_output
 
 
+def test_chunked_admission_matches_offline_engine(rng):
+    """Chunked prefill admission (prompt > prefill_chunk_tokens) emits the
+    exact tokens of the offline engine's monolithic prefill."""
+    eng, *_ = make_engine(max_new=4)
+    batcher = ContinuousBatcher(
+        eng, n_slots=2, segment_steps=2, prefill_chunk_tokens=16
+    )
+
+    samples = (rng.standard_normal(64000) * 0.1).astype(np.float32)
+    req = Request(samples)
+    batcher.submit(req)
+    _drive(batcher, lambda: req.event.is_set())
+
+    offline = eng.transcribe_samples(samples)
+    assert req.result.raw_output == offline.raw_output
+
+
+def test_chunked_admission_interleaves_with_decode(rng):
+    """While a long prompt prefills chunk-by-chunk, an already-decoding
+    slot keeps making progress every scheduler iteration (the admission
+    never stalls decode for more than one chunk)."""
+    eng, *_ = make_engine(max_new=32)
+    batcher = ContinuousBatcher(
+        eng, n_slots=2, segment_steps=1, prefill_chunk_tokens=16
+    )
+
+    decoding = Request(
+        (rng.standard_normal(8000) * 0.1).astype(np.float32),
+        max_new_tokens=32,
+    )
+    batcher.submit(decoding)
+    batcher.step()  # admit (short prompt -> monolithic) + first segment
+    assert not decoding.event.is_set()
+
+    long_req = Request(
+        (rng.standard_normal(64000) * 0.1).astype(np.float32),
+        max_new_tokens=2,
+    )
+    batcher.submit(long_req)
+    batcher.step()  # admits chunked; must still run a decode segment
+    assert 1 in batcher.prefilling or 0 in batcher.prefilling
+    pos_before = batcher.pos[0]
+
+    # drive until the long request's prefill commits; the decoding slot
+    # must advance during every interleaved iteration
+    for _ in range(50):
+        if not batcher.prefilling:
+            break
+        batcher.step()
+    assert not batcher.prefilling
+    assert batcher.pos[0] > pos_before or decoding.event.is_set()
+
+    _drive(batcher, lambda: long_req.event.is_set())
+    _drive(batcher, lambda: decoding.event.is_set())
+    assert long_req.result is not None
+    assert decoding.result is not None
+
+
+def test_serving_loop_stop_and_join(rng):
+    """ServingLoop must join cleanly (a _stop Event attribute used to
+    shadow threading.Thread's private _stop() and crash join())."""
+    from qwen3_asr_rs_tpu.runtime.serving import ServingLoop
+
+    eng, *_ = make_engine(max_new=2)
+    batcher = ContinuousBatcher(eng, n_slots=1, segment_steps=1)
+    loop = ServingLoop(batcher)
+    loop.start()
+    req = Request((rng.standard_normal(8000) * 0.1).astype(np.float32))
+    batcher.submit(req)
+    req.wait(timeout=120)
+    loop.stop()
+    loop.join(timeout=30)
+    assert not loop.is_alive()
+
+
 def test_oversized_request_rejected(rng):
     eng, *_ = make_engine(max_new=2)  # buckets (2, 4, 8)
     batcher = ContinuousBatcher(eng, n_slots=1, segment_steps=1)
