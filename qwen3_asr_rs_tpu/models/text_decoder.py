@@ -92,6 +92,21 @@ def _linear(tree: PyTree, name: str, x):
         w = tree[f"{name}_q"].astype(x.dtype)
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
         return (y * tree[f"{name}_s"].astype(jnp.float32)).astype(x.dtype)
+    if f"{name}_q4" in tree:
+        # nibble-packed int4: two half-width dots on the sign-extended
+        # nibbles, concatenated along the output dim (packing pairs
+        # column j with column j + N/2, so order is preserved)
+        p = tree[f"{name}_q4"].astype(jnp.int32)
+        lo = ((p << 28) >> 28).astype(x.dtype)
+        hi = (p >> 4).astype(x.dtype)
+        y = jnp.concatenate(
+            [
+                jnp.dot(x, lo, preferred_element_type=jnp.float32),
+                jnp.dot(x, hi, preferred_element_type=jnp.float32),
+            ],
+            axis=-1,
+        )
+        return (y * tree[f"{name}_s"].astype(jnp.float32)).astype(x.dtype)
     return x @ tree[name]
 
 
@@ -420,8 +435,12 @@ class TextDecoder:
 
         cfg = self.cfg
         layers = params["layers"]
-        w = layers["q_w_q"] if "q_w_q" in layers else layers["q_w"]
-        wbytes = jnp.dtype(w.dtype).itemsize
+        if "q_w_q4" in layers:
+            wbytes = 0.5  # two weights per int8 byte
+        elif "q_w_q" in layers:
+            wbytes = 1
+        else:
+            wbytes = jnp.dtype(layers["q_w"].dtype).itemsize
         h, d = cfg.hidden_size, cfg.head_dim
         nq_d = cfg.num_attention_heads * d
         nkv_d = cfg.num_key_value_heads * d
@@ -474,7 +493,11 @@ class TextDecoder:
             return False
         eligible = (
             jnp.ndim(pos) == 0  # shared write slot (B=1 or aligned batch)
-            and ("q_w" in params["layers"] or "q_w_q" in params["layers"])
+            and (
+                "q_w" in params["layers"]
+                or "q_w_q" in params["layers"]
+                or "q_w_q4" in params["layers"]
+            )
             and "q_b" not in params["layers"]
             and self._fused_step_vmem_ok(params, b, cache, fold_lm)
         )

@@ -63,7 +63,7 @@ def _rms_norm(x, w, eps):
     return (xf * jax.lax.rsqrt(var + eps)) * w.astype(jnp.float32)
 
 
-def _mm(x, w, scale, cdt):
+def _mm(x, w, scale, cdt, int4=False):
     """(R, K) @ (K, N) in the compute dtype with f32 accumulation.
 
     ``w`` may be int8 (weight-only quantization): int8 values are exact
@@ -72,7 +72,32 @@ def _mm(x, w, scale, cdt):
     which XLA folds away. Dequantizing HERE is what makes int8 pay off:
     the VPU convert overlaps the next layer's weight DMA in the Pallas
     pipeline, so decode becomes bound by int8 (half) HBM bytes.
+
+    With ``int4`` the int8 block holds two nibble-packed weights
+    (quant_matmul.quantize_weight_int4: packed col j = original cols
+    (j, j + N/2)): unpack with int32 arithmetic shifts (int8 shifts do
+    not lower in Mosaic), run two half-width dots, concat along lanes —
+    a QUARTER of the bf16 weight DMA bytes.
     """
+    if int4:
+        p = w.astype(jnp.int32)
+        lo = ((p << 28) >> 28).astype(cdt)
+        hi = (p >> 4).astype(cdt)
+        xc = x.astype(cdt)
+        y = jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    xc, lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ),
+                jax.lax.dot_general(
+                    xc, hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ),
+            ],
+            axis=-1,
+        )
+        return y * scale
     y = jax.lax.dot_general(
         x.astype(cdt), w.astype(cdt),
         (((1,), (0,)), ((), ())),
@@ -126,6 +151,7 @@ def _kernel(
     fold_lm: bool,
     v_true: int,
     resident: bool,
+    int4: bool,
 ):
     l = pl.program_id(0)
     nl = num_layers
@@ -133,6 +159,7 @@ def _kernel(
     d = head_dim
     scale = d ** -0.5
     b = batch
+    mult = 2 if int4 else 1
 
     @pl.when(l == 0)
     def _init():
@@ -149,10 +176,10 @@ def _kernel(
     def sc(row, n):
         return scales_ref[0, row, :n][None, :]
 
-    nq_d = q_w_ref.shape[-1]
-    nkv_d = k_w_ref.shape[-1]
-    inter = gate_w_ref.shape[-1]
-    h_dim = o_w_ref.shape[-1]
+    nq_d = q_w_ref.shape[-1] * mult
+    nkv_d = k_w_ref.shape[-1] * mult
+    inter = gate_w_ref.shape[-1] * mult
+    h_dim = o_w_ref.shape[-1] * mult
 
     # attention bookkeeping (SMEM prefetch refs allow scalar loads only;
     # b is static). In DMA mode the first block's copy starts before the
@@ -189,9 +216,9 @@ def _kernel(
     def _layer():
         # ---- attention block
         xn = _rms_norm(h, norms_ref[0, 0][None, :], eps).astype(cdt)
-        q = _mm(xn, q_w_ref[0], sc(0, nq_d), cdt).astype(cdt)   # (B, NqD)
-        k = _mm(xn, k_w_ref[0], sc(1, nkv_d), cdt).astype(cdt)  # (B, NkvD)
-        v = _mm(xn, v_w_ref[0], sc(2, nkv_d), cdt).astype(cdt)
+        q = _mm(xn, q_w_ref[0], sc(0, nq_d), cdt, int4).astype(cdt)   # (B, NqD)
+        k = _mm(xn, k_w_ref[0], sc(1, nkv_d), cdt, int4).astype(cdt)  # (B, NkvD)
+        v = _mm(xn, v_w_ref[0], sc(2, nkv_d), cdt, int4).astype(cdt)
 
         q = q.reshape(b * hq, d)
         k = k.reshape(b * hkv, d)
@@ -221,14 +248,14 @@ def _kernel(
 
         def _mlp_and_store(h2):
             xn2 = _rms_norm(h2, norms_ref[0, 1][None, :], eps).astype(cdt)
-            gate = _mm(xn2, gate_w_ref[0], sc(4, inter), cdt).astype(cdt)
+            gate = _mm(xn2, gate_w_ref[0], sc(4, inter), cdt, int4).astype(cdt)
             gate = (
                 gate.astype(jnp.float32)
                 * jax.nn.sigmoid(gate.astype(jnp.float32))
             ).astype(cdt)  # silu, rounded like the scan path
-            up = _mm(xn2, up_w_ref[0], sc(5, inter), cdt).astype(cdt)
+            up = _mm(xn2, up_w_ref[0], sc(5, inter), cdt, int4).astype(cdt)
             down = _mm(
-                gate * up, down_w_ref[0], sc(6, h_dim), cdt
+                gate * up, down_w_ref[0], sc(6, h_dim), cdt, int4
             ).astype(cdt)
             h3 = (h2.astype(cdt) + down).astype(jnp.float32)
             h_scr[:b] = h3
@@ -295,7 +322,7 @@ def _kernel(
                 attn_rows.append(ab.astype(cdt).reshape(1, hq * d))
             attn = jnp.concatenate(attn_rows, axis=0)  # (B, Hq*D)
 
-            o = _mm(attn, o_w_ref[0], sc(3, h_dim), cdt).astype(cdt)
+            o = _mm(attn, o_w_ref[0], sc(3, h_dim), cdt, int4).astype(cdt)
             h2 = (h.astype(cdt) + o).astype(jnp.float32)
             _mlp_and_store(h2)
             return
@@ -395,7 +422,7 @@ def _kernel(
         out = (acc * corr + p_self * v_self) / jnp.maximum(denom, 1e-30)
         attn = out.astype(cdt).reshape(b, hq * d)
 
-        o = _mm(attn, o_w_ref[0], sc(3, h_dim), cdt).astype(cdt)
+        o = _mm(attn, o_w_ref[0], sc(3, h_dim), cdt, int4).astype(cdt)
         h2 = (h.astype(cdt) + o).astype(jnp.float32)
         _mlp_and_store(h2)
 
@@ -477,21 +504,26 @@ def decode_layers_fused(
     nl, b, s_max, hkv, d = k_slabs.shape
     h_dim = x.shape[-1]
     quantized = "q_w_q" in layers
+    int4 = "q_w_q4" in layers
+    mult = 2 if int4 else 1
 
     names = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
-    if quantized:
+    if int4:
+        weights = {n: layers[f"{n}_q4"] for n in names}
+    elif quantized:
         weights = {n: layers[f"{n}_q"] for n in names}
     else:
         weights = {n: layers[n] for n in names}
 
-    nq_d = weights["q_w"].shape[-1]
-    nkv_d = weights["k_w"].shape[-1]
-    inter = weights["gate_w"].shape[-1]
+    # logical (unpacked) output dims; int4 blocks are half-width
+    nq_d = weights["q_w"].shape[-1] * mult
+    nkv_d = weights["k_w"].shape[-1] * mult
+    inter = weights["gate_w"].shape[-1] * mult
     groups = nq_d // nkv_d
 
     max_n = max(nq_d, nkv_d, inter, h_dim)
     scales_packed, norms_packed = _pack_aux(
-        layers, names, quantized, nl, h_dim, d, max_n
+        layers, names, quantized or int4, nl, h_dim, d, max_n
     )
 
     # --- lm head folding operands
@@ -601,13 +633,14 @@ def decode_layers_fused(
             pl.BlockSpec((b, d), const_idx),           # cos
             pl.BlockSpec((b, d), const_idx),           # sin
             pl.BlockSpec((1, 8, h_dim), lay3),         # packed norms
-            pl.BlockSpec((1, h_dim, nq_d), lay3),      # q_w
-            pl.BlockSpec((1, h_dim, nkv_d), lay3),     # k_w
-            pl.BlockSpec((1, h_dim, nkv_d), lay3),     # v_w
-            pl.BlockSpec((1, nq_d, h_dim), lay3),      # o_w
-            pl.BlockSpec((1, h_dim, inter), lay3),     # gate_w
-            pl.BlockSpec((1, h_dim, inter), lay3),     # up_w
-            pl.BlockSpec((1, inter, h_dim), lay3),     # down_w
+            # block shapes follow the STORED arrays (int4: half-width)
+            pl.BlockSpec((1, h_dim, nq_d // mult), lay3),    # q_w
+            pl.BlockSpec((1, h_dim, nkv_d // mult), lay3),   # k_w
+            pl.BlockSpec((1, h_dim, nkv_d // mult), lay3),   # v_w
+            pl.BlockSpec((1, nq_d, h_dim // mult), lay3),    # o_w
+            pl.BlockSpec((1, h_dim, inter // mult), lay3),   # gate_w
+            pl.BlockSpec((1, h_dim, inter // mult), lay3),   # up_w
+            pl.BlockSpec((1, inter, h_dim // mult), lay3),   # down_w
             pl.BlockSpec((1, 8, max_n), lay3),         # packed scales
             *slab_specs,                               # k/v slab
             pl.BlockSpec((h_dim, lm_w.shape[1] if not fold_lm else LM_TILE),
@@ -643,6 +676,7 @@ def decode_layers_fused(
         fold_lm=fold_lm,
         v_true=v_true,
         resident=resident,
+        int4=int4,
     )
 
     h_out, tok_out, ks, vs = pl.pallas_call(

@@ -105,3 +105,43 @@ def quantize_weight(w, axis: int = 0):
 
 def dequantize(w_q, scales):
     return w_q.astype(jnp.float32) * scales[None, :]
+
+
+# ---------------------------------------------------------------------- #
+# int4 (nibble-packed): this JAX build's native jnp.int4 arrays are broken
+# (device_put recursion) and Mosaic rejects int8 shifts, so int4 weights
+# are packed two-per-int8 and unpacked with int32 arithmetic shifts —
+# verified exact on TPU. Packed column j holds original columns
+# (j, j + N/2) in its (low, high) nibble, so unpacking is two shifts plus
+# a lane-dimension concat: no permutation, MXU-friendly halves.
+# ---------------------------------------------------------------------- #
+
+
+def quantize_weight_int4(w, axis: int = 0):
+    """Per-output-channel symmetric int4 quantization of (K, N) weights.
+
+    Returns (packed int8 (K, N//2), scales f32 (N,)). Values are clipped
+    to [-7, 7] (symmetric; -8 unused). N must be even.
+    """
+    wf = jnp.asarray(w, jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=axis)  # (N,)
+    scales = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scales[None, :]), -7, 7).astype(jnp.int8)
+    n = q.shape[1]
+    if n % 2:
+        raise ValueError(f"int4 packing needs an even output dim, got {n}")
+    lo, hi = q[:, : n // 2], q[:, n // 2 :]
+    packed = ((lo & jnp.int8(0xF)) | (hi << 4)).astype(jnp.int8)
+    return packed, scales
+
+
+def unpack_int4(packed, dtype=jnp.float32):
+    """Inverse of the packing in quantize_weight_int4 (original col order).
+
+    Arithmetic int32 shifts sign-extend both nibbles exactly; works under
+    XLA and inside Mosaic kernels (int8 shifts do not lower on TPU).
+    """
+    p = packed.astype(jnp.int32)
+    lo = (p << 28) >> 28  # low nibble, sign-extended
+    hi = p >> 4           # high nibble (arithmetic shift of the byte)
+    return jnp.concatenate([lo, hi], axis=-1).astype(dtype)

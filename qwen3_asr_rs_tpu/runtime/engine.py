@@ -96,11 +96,22 @@ class AsrEngine:
             logger.info("Weights loaded in %.1fs", time.monotonic() - t0)
         self.enc_params, self.dec_params = params
 
-        if quantize == "int8":
+        if quantize in ("int8", "int4"):
             from ..weights.quantize import quantize_decoder_params
 
-            logger.info("Quantizing decoder weights to int8")
-            self.dec_params = quantize_decoder_params(self.dec_params)
+            if quantize == "int4" and mesh is not None:
+                # int4's column-pair nibble packing (j, j + N/2) does not
+                # commute with Megatron column sharding: a tp shard of the
+                # packed dim unpacks to a column PERMUTATION that breaks
+                # head grouping. Pack per-shard if this is ever needed.
+                raise ValueError(
+                    "quantize='int4' is not supported under a mesh; "
+                    "use 'int8' for sharded serving"
+                )
+            logger.info("Quantizing decoder weights to %s", quantize)
+            self.dec_params = quantize_decoder_params(
+                self.dec_params, bits=4 if quantize == "int4" else 8
+            )
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
 

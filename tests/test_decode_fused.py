@@ -262,3 +262,31 @@ def test_fused_dma_slab_mode_matches_scan(rng, monkeypatch, s_max, pos):
     np.testing.assert_allclose(
         np.asarray(c_dma.k), np.asarray(c_scan.k), atol=1e-5, rtol=1e-5
     )
+
+
+def test_fused_int4_matches_int4_scan(rng, monkeypatch):
+    """int4 megakernel (nibble unpack in-kernel) == int4 XLA scan path."""
+    from qwen3_asr_rs_tpu.weights.quantize import quantize_decoder_params
+
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    qparams = quantize_decoder_params(params, bits=4)
+    dec = TextDecoder(cfg, max_position=256)
+
+    cache = KVCache.zeros(cfg, 1, 48, dtype=jnp.float32)
+    tok = jnp.asarray([11], jnp.int32)
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "scan")
+    l_scan, c_scan = dec.decode_step(qparams, tok, jnp.int32(20), cache)
+    monkeypatch.setenv("ASR_DECODE_IMPL", "fused")
+    l_fused, c_fused = dec.decode_step(qparams, tok, jnp.int32(20), cache)
+
+    np.testing.assert_allclose(
+        np.asarray(l_fused), np.asarray(l_scan), atol=5e-3, rtol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_fused.k), np.asarray(c_scan.k), atol=5e-3, rtol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_fused.v), np.asarray(c_scan.v), atol=5e-3, rtol=5e-3
+    )

@@ -63,3 +63,104 @@ def test_engine_with_int8_quantization(rng):
     samples = (rng.standard_normal(16000) * 0.1).astype(np.float32)
     result = eng.transcribe_samples(samples)
     assert isinstance(result.raw_output, str)
+
+
+# ---------------------------------------------------------------------- #
+# int4 (nibble-packed)
+
+
+def test_int4_pack_unpack_roundtrip(rng):
+    """unpack(pack(w)) reproduces the clipped int4 grid exactly."""
+    import jax.numpy as jnp
+
+    from qwen3_asr_rs_tpu.ops.pallas.quant_matmul import (
+        quantize_weight_int4,
+        unpack_int4,
+    )
+
+    w = rng.standard_normal((48, 64)).astype(np.float32)
+    packed, scales = quantize_weight_int4(jnp.asarray(w))
+    assert packed.shape == (48, 32) and packed.dtype == jnp.int8
+    got = np.asarray(unpack_int4(packed))
+    want = np.clip(np.round(w / np.asarray(scales)[None, :]), -7, 7)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_int4_linear_matches_dequantized(rng):
+    """_linear's int4 branch == x @ dequantized weights."""
+    import jax.numpy as jnp
+
+    from qwen3_asr_rs_tpu.models.text_decoder import _linear
+    from qwen3_asr_rs_tpu.ops.pallas.quant_matmul import (
+        quantize_weight_int4,
+        unpack_int4,
+    )
+
+    w = rng.standard_normal((32, 48)).astype(np.float32) * 0.1
+    x = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    packed, scales = quantize_weight_int4(jnp.asarray(w))
+    got = np.asarray(_linear({"t_w_q4": packed, "t_w_s": scales}, "t_w", x))
+    deq = np.asarray(unpack_int4(packed)) * np.asarray(scales)[None, :]
+    want = np.asarray(x) @ deq
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_int4_forward_matches_dequantized_reference(rng):
+    """int4 XLA path == forward with explicitly dequantized weights."""
+    from qwen3_asr_rs_tpu.ops.pallas.quant_matmul import unpack_int4
+
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    qparams = quantize_decoder_params(params, bits=4)
+    assert is_quantized(qparams)
+
+    deq = {
+        "embed": params["embed"],
+        "final_ln_w": params["final_ln_w"],
+        "layers": dict(qparams["layers"]),
+        "lm_head": jnp.transpose(
+            dequantize(qparams["lm_head_q"], qparams["lm_head_s"])
+        ),
+    }
+    for name in QUANT_LAYER_WEIGHTS:
+        w_q = qparams["layers"][f"{name}_q4"]
+        s = qparams["layers"][f"{name}_s"]
+        deq["layers"][name] = jnp.stack(
+            [
+                unpack_int4(w_q[i]) * s[i][None, :]
+                for i in range(w_q.shape[0])
+            ]
+        )
+        del deq["layers"][f"{name}_q4"], deq["layers"][f"{name}_s"]
+
+    dec = TextDecoder(cfg, max_position=64)
+    ids = jnp.asarray([[3, 7, 1, 9, 2]], jnp.int32)
+    hidden = dec.embed(params, ids)
+    got = dec.forward_full(qparams, hidden, jnp.arange(5))
+    want = dec.forward_full(deq, hidden, jnp.arange(5))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-2, rtol=2e-2
+    )
+
+
+def test_quant_bits_detection():
+    from qwen3_asr_rs_tpu.weights.quantize import quant_bits
+
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    assert quant_bits(params) == 0
+    assert quant_bits(quantize_decoder_params(params)) == 8
+    assert quant_bits(quantize_decoder_params(params, bits=4)) == 4
+
+
+def test_engine_with_int4_quantization(rng):
+    _, cfg, enc_params, dec_params = make_engine(max_new=4)
+    eng = AsrEngine(
+        model_dir=None, dtype=jnp.float32, max_new_tokens=4,
+        chunk_buckets=(2, 4), config=cfg,
+        params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+        quantize="int4",
+    )
+    samples = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    result = eng.transcribe_samples(samples)
+    assert isinstance(result.raw_output, str)
