@@ -2,9 +2,9 @@
 
 Measures the full fused pipeline (log-mel -> audio encoder -> prefill ->
 greedy decode loop on device) with synthetic weights at the exact 0.6B
-architecture, in four configurations:
+architecture, in six configurations:
 
-  * bf16 and int8 (weight-only) precision;
+  * bf16, int8, and int4 (weight-only) precision;
   * a 30 s clip decoding 128 tokens (throughput regime — decode-bound;
     random weights never emit EOS, so the loop runs to the cap, an upper
     bound on real decode work, making the number conservative), and
@@ -127,8 +127,8 @@ def main():
     params = (enc_params, dec_params)
 
     rows = {}
-    for quant in (None, "int8"):
-        tag = "int8" if quant else "bf16"
+    for quant in (None, "int8", "int4"):
+        tag = quant or "bf16"
         print(f"--- {tag} 30 s / 128 tok", file=sys.stderr)
         eng = _mk_engine(config, params, quant, max_new=128, bucket=30)
         t30 = _bench_once(eng, config, 30.0, 30)

@@ -1,3 +1,20 @@
-from .train_step import TrainState, make_train_step, asr_loss
+from .checkpoint import (
+    AsyncTrainCheckpointer,
+    restore_train_state,
+    save_train_state,
+)
+from .data import AsrDataset, Utterance, prefetch_to_device, read_manifest
+from .train_step import TrainState, asr_loss, make_train_step
 
-__all__ = ["TrainState", "make_train_step", "asr_loss"]
+__all__ = [
+    "AsrDataset",
+    "AsyncTrainCheckpointer",
+    "TrainState",
+    "Utterance",
+    "asr_loss",
+    "make_train_step",
+    "prefetch_to_device",
+    "read_manifest",
+    "restore_train_state",
+    "save_train_state",
+]

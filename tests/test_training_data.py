@@ -1,0 +1,186 @@
+"""ASR data pipeline: manifest, bucketed batches, masks, async ckpt."""
+
+import json
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from qwen3_asr_rs_tpu.config import tiny_test_config
+from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
+from qwen3_asr_rs_tpu.runtime.prompt import PROMPT_HEADER, build_prompt
+from qwen3_asr_rs_tpu.tokenizer import ENDOFTEXT_TOKEN_ID, IM_END_TOKEN_ID
+from qwen3_asr_rs_tpu.training.data import (
+    AsrDataset,
+    Utterance,
+    prefetch_to_device,
+    read_manifest,
+)
+from qwen3_asr_rs_tpu.training.train_step import TrainState, make_train_step
+
+from test_audio_io import write_wav_pcm16
+from test_engine_e2e import MockTokenizer
+
+
+@pytest.fixture()
+def corpus(tmp_path, rng):
+    """Manifest with 5 clips across two buckets (one with language)."""
+    rows = []
+    for i, (n, lang) in enumerate(
+        [(8000, None), (16000, "english"), (9000, None),
+         (24000, "chinese"), (7000, None)]
+    ):
+        p = tmp_path / f"clip{i}.wav"
+        write_wav_pcm16(p, (rng.standard_normal(n) * 0.1), 16000)
+        rows.append(
+            {"audio": p.name, "text": f"hello world {i}",
+             **({"language": lang} if lang else {})}
+        )
+    manifest = tmp_path / "train.jsonl"
+    manifest.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    return manifest
+
+
+def test_read_manifest_resolves_paths(corpus):
+    utts = read_manifest(corpus)
+    assert len(utts) == 5
+    assert all(u.audio.exists() for u in utts)
+    assert utts[1].language == "english"
+
+
+def test_read_manifest_rejects_bad_lines(tmp_path):
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"audio": "x.wav"}\n')  # missing text
+    with pytest.raises(ValueError, match="bad manifest line"):
+        read_manifest(bad)
+
+
+def test_batches_static_shapes_and_masks(corpus):
+    cfg = tiny_test_config()
+    ds = AsrDataset(
+        corpus, MockTokenizer(), config=cfg,
+        chunk_buckets=(2, 4), batch_size=2, max_text_tokens=32,
+    )
+    batches = list(ds.batches())
+    assert batches, "no batches emitted"
+    cf = cfg.audio.chunk_frames
+    for b in batches:
+        bsz, bins, frames = b["mel"].shape
+        assert bsz == 2 and bins == cfg.audio.num_mel_bins
+        assert frames % cf == 0
+        assert b["token_ids"].shape == b["loss_mask"].shape
+        assert b["token_ids"].shape[1] % 16 == 0
+        # prompt header is token-exact with inference
+        np.testing.assert_array_equal(
+            b["token_ids"][0, : len(PROMPT_HEADER)], PROMPT_HEADER
+        )
+        # every row trains at least one position, ending at im_end
+        for r in range(bsz):
+            m = b["loss_mask"][r]
+            if m.sum() == 0:
+                continue  # collate filler row
+            last = int(np.nonzero(m)[0][-1])
+            assert b["token_ids"][r, last + 1] == IM_END_TOKEN_ID
+            # the first trained position is the prompt's last token
+            first = int(np.nonzero(m)[0][0])
+            n_audio = int(b["n_audio"][r])
+            prompt = build_prompt(n_audio, None, MockTokenizer())
+            assert first == len(prompt) - 1
+    # all 5 utterances appear across batches (2+2+1 -> filler pads last)
+    total_trained_rows = sum(
+        int((b["loss_mask"].sum(axis=1) > 0).sum()) for b in batches
+    )
+    assert total_trained_rows == 5
+
+
+def test_language_rows_train_the_language_tag(corpus):
+    from qwen3_asr_rs_tpu.tokenizer import ASR_TEXT_TOKEN_ID
+
+    ds = AsrDataset(
+        corpus, MockTokenizer(), config=tiny_test_config(),
+        chunk_buckets=(2, 4), batch_size=1, max_text_tokens=32,
+    )
+    seen_asr_text = False
+    for b in ds.batches():
+        ids = b["token_ids"][0]
+        if (ids == ASR_TEXT_TOKEN_ID).any():
+            seen_asr_text = True
+            pos = int(np.nonzero(ids == ASR_TEXT_TOKEN_ID)[0][0])
+            assert b["loss_mask"][0, pos - 1] == 1.0  # tag is a target
+    assert seen_asr_text
+
+
+def _vocab_cfg():
+    """tiny config with the real vocab so special-token ids embed."""
+    import dataclasses
+
+    cfg = tiny_test_config()
+    text = dataclasses.replace(cfg.text, vocab_size=151936)
+    return dataclasses.replace(
+        cfg,
+        thinker_config=dataclasses.replace(
+            cfg.thinker_config, text_config=text
+        ),
+    )
+
+
+def test_train_step_consumes_loader_batches(corpus):
+    cfg = _vocab_cfg()
+    ds = AsrDataset(
+        corpus, MockTokenizer(), config=cfg,
+        chunk_buckets=(2, 4), batch_size=2, max_text_tokens=16,
+    )
+    params = {
+        "encoder": init_encoder_params(cfg.audio, dtype=jnp.float32),
+        "decoder": init_decoder_params(cfg.text, dtype=jnp.float32),
+    }
+    opt = optax.adamw(1e-3)
+    state = TrainState(
+        params=params, opt_state=opt.init(params), step=jnp.int32(0)
+    )
+    import jax
+
+    step = jax.jit(make_train_step(cfg, opt, max_position=256))
+    losses = []
+    for batch in prefetch_to_device(ds.batches(), size=2):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert losses and all(np.isfinite(losses))
+    assert int(state.step) == len(losses)
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    from qwen3_asr_rs_tpu.training.checkpoint import AsyncTrainCheckpointer
+
+    cfg = tiny_test_config()
+    params = {
+        "encoder": init_encoder_params(cfg.audio, dtype=jnp.float32),
+        "decoder": init_decoder_params(cfg.text, dtype=jnp.float32),
+    }
+    opt = optax.adamw(1e-3)
+    state = TrainState(
+        params=params, opt_state=opt.init(params), step=jnp.int32(0)
+    )
+    ck = AsyncTrainCheckpointer(tmp_path / "ckpts", max_to_keep=2)
+    for s in (1, 2, 3):
+        ck.save(
+            TrainState(
+                params=state.params, opt_state=state.opt_state,
+                step=jnp.int32(s),
+            )
+        )
+    ck.wait()
+    assert ck.latest().name == "step_00000003"
+    # pruned to max_to_keep
+    assert len(list((tmp_path / "ckpts").glob("step_*"))) == 2
+
+    restored = ck.restore_latest(state)
+    assert int(restored.step) == 3
+    np.testing.assert_allclose(
+        np.asarray(restored.params["decoder"]["final_ln_w"], np.float32),
+        np.asarray(state.params["decoder"]["final_ln_w"], np.float32),
+    )
+    ck.close()
