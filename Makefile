@@ -1,4 +1,10 @@
-.PHONY: all native test test-fast bench dryrun clean
+.PHONY: all native test test-fast bench dryrun ci clean
+
+# Local mirror of .github/workflows/ci.yml (build -> tests -> dryrun)
+ci: native
+	python -m pytest tests/ -q
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+	python __graft_entry__.py
 
 all: native
 

@@ -120,6 +120,42 @@ def _qkv(layer: PyTree, name: str, x, num_heads: int, head_dim: int):
     return out.reshape(b, s, num_heads, head_dim)
 
 
+def _qkv3(layer: PyTree, x, nq: int, nkv: int, head_dim: int):
+    """All three q/k/v projections: (B, S, H) -> three (B, S, heads, D).
+
+    When the quantizer merged the projections (``qkv_w_q``/``qkv_w_q4``,
+    weights/quantize.MERGED_GROUPS) this is ONE wider matmul plus
+    activation slicing — identical numerics to three separate dots.
+    """
+    if "qkv_w_q" in layer or "qkv_w_q4" in layer:
+        b, s, _ = x.shape
+        out = _linear(layer, "qkv_w", x)
+        q, k, v = jnp.split(
+            out, [nq * head_dim, (nq + nkv) * head_dim], axis=-1
+        )
+        return (
+            q.reshape(b, s, nq, head_dim),
+            k.reshape(b, s, nkv, head_dim),
+            v.reshape(b, s, nkv, head_dim),
+        )
+    return (
+        _qkv(layer, "q", x, nq, head_dim),
+        _qkv(layer, "k", x, nkv, head_dim),
+        _qkv(layer, "v", x, nkv, head_dim),
+    )
+
+
+def _gate_up(layer: PyTree, x):
+    """silu(gate(x)) * up(x), through merged ``gateup_w`` when present."""
+    if "gateup_w_q" in layer or "gateup_w_q4" in layer:
+        out = _linear(layer, "gateup_w", x)
+        gate, up = jnp.split(out, 2, axis=-1)
+        return jax.nn.silu(gate) * up
+    return jax.nn.silu(_linear(layer, "gate_w", x)) * _linear(
+        layer, "up_w", x
+    )
+
+
 class TextDecoder:
     """Stateless decoder; parameters are passed to every call."""
 
@@ -163,9 +199,10 @@ class TextDecoder:
         residual = x
         h = rms_norm(x, layer["input_ln_w"], cfg.rms_norm_eps)
 
-        q = _qkv(layer, "q", h, cfg.num_attention_heads, cfg.head_dim)
-        k = _qkv(layer, "k", h, cfg.num_key_value_heads, cfg.head_dim)
-        v = _qkv(layer, "v", h, cfg.num_key_value_heads, cfg.head_dim)
+        q, k, v = _qkv3(
+            layer, h, cfg.num_attention_heads, cfg.num_key_value_heads,
+            cfg.head_dim,
+        )
 
         # Per-head QK RMSNorm (src/layers.rs:303-304)
         q = rms_norm(q, layer["q_norm_w"], cfg.rms_norm_eps)
@@ -190,9 +227,7 @@ class TextDecoder:
 
         residual = x
         h = rms_norm(x, layer["post_ln_w"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(_linear(layer, "gate_w", h))
-        up = _linear(layer, "up_w", h)
-        h = _linear(layer, "down_w", gate * up)
+        h = _linear(layer, "down_w", _gate_up(layer, h))
         return residual + h, k_cache, v_cache
 
     def _run_layers(self, params, hidden, cos, sin, cache):
@@ -226,6 +261,19 @@ class TextDecoder:
     def logits(self, params: PyTree, hidden):
         """Final norm + lm head, computed in f32 (argmax parity)."""
         h = rms_norm(hidden, params["final_ln_w"], self.cfg.rms_norm_eps)
+        if "lm_head_q4" in params:
+            # tile-packed int4: HALF the int8 HBM stream, nibble unpack
+            # in VMEM (the XLA unpack would materialize bf16 in HBM)
+            from ..ops.pallas.quant_matmul import quant_matvec_int4
+
+            b, s, hd = h.shape
+            y = quant_matvec_int4(
+                h.reshape(b * s, hd),
+                params["lm_head_q4"],
+                params["lm_head_s"],
+                interpret=_interpret_pallas(),
+            )
+            return y.reshape(b, s, -1)
         if "lm_head_q" in params:
             # XLA dequant (see _linear): int8 is exact in the compute
             # dtype, per-vocab-column scale applied after the contraction
@@ -316,9 +364,7 @@ class TextDecoder:
         groups = nq // nkv
         residual = x
         h = rms_norm(x, layer["input_ln_w"], cfg.rms_norm_eps)
-        q = _qkv(layer, "q", h, nq, hd)
-        k = _qkv(layer, "k", h, nkv, hd)
-        v = _qkv(layer, "v", h, nkv, hd)
+        q, k, v = _qkv3(layer, h, nq, nkv, hd)
         q = rms_norm(q, layer["q_norm_w"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm_w"], cfg.rms_norm_eps)
         q = apply_rotary(q, cos, sin)
@@ -358,9 +404,8 @@ class TextDecoder:
         x = residual + _linear(layer, "o_w", out)
         residual = x
         h = rms_norm(x, layer["post_ln_w"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(_linear(layer, "gate_w", h))
-        up = _linear(layer, "up_w", h)
-        return residual + _linear(layer, "down_w", gate * up), k_cache, v_cache
+        h = _linear(layer, "down_w", _gate_up(layer, h))
+        return residual + h, k_cache, v_cache
 
     def decode_step(
         self,
@@ -435,9 +480,9 @@ class TextDecoder:
 
         cfg = self.cfg
         layers = params["layers"]
-        if "q_w_q4" in layers:
+        if "q_w_q4" in layers or "qkv_w_q4" in layers:
             wbytes = 0.5  # two weights per int8 byte
-        elif "q_w_q" in layers:
+        elif "q_w_q" in layers or "qkv_w_q" in layers:
             wbytes = 1
         else:
             wbytes = jnp.dtype(layers["q_w"].dtype).itemsize
@@ -491,12 +536,15 @@ class TextDecoder:
         impl = os.environ.get("ASR_DECODE_IMPL", "auto")
         if impl == "scan":
             return False
+        if fold_lm and "lm_head_q4" in params:
+            # the folded lm tiles read int8/bf16; int4 lm_head goes
+            # through quant_matvec_int4 instead
+            return False
         eligible = (
             jnp.ndim(pos) == 0  # shared write slot (B=1 or aligned batch)
-            and (
-                "q_w" in params["layers"]
-                or "q_w_q" in params["layers"]
-                or "q_w_q4" in params["layers"]
+            and any(
+                n in params["layers"]
+                for n in ("q_w", "q_w_q", "q_w_q4", "qkv_w_q", "qkv_w_q4")
             )
             and "q_b" not in params["layers"]
             and self._fused_step_vmem_ok(params, b, cache, fold_lm)
@@ -525,10 +573,11 @@ class TextDecoder:
         With ASR_FOLD_LM=1 and the megakernel eligible, the final RMSNorm
         + lm_head matvec + argmax are folded into the same pallas_call
         (extra vocab-tile grid steps) so no logits tensor round-trips
-        HBM. Folding is opt-in: through the tunneled v5e the per-grid-
-        step overhead exceeds the XLA matvec it replaces (measured
-        +1.0 ms/token) — re-measure on directly-attached hardware.
-        Default: decode_step + XLA argmax (identical semantics).
+        HBM. Folding stays opt-in: RTT-corrected on-chip A/B measured it
+        SLOWER (int4 0.80 -> 1.26, int8 0.95 -> 1.45 ms/token) — the
+        per-tile running (max, argmax) VPU work exceeds the XLA matvec
+        it replaces. Default: decode_step + XLA argmax (identical
+        semantics).
         Returns (token_ids (B,) int32, cache).
         """
         import os
@@ -747,9 +796,7 @@ class TextDecoder:
         )
         residual = h
         x = rms_norm(h, layer["input_ln_w"], cfg.rms_norm_eps)
-        q = _qkv(layer, "q", x, nq, hd)
-        k = _qkv(layer, "k", x, nkv, hd)
-        v = _qkv(layer, "v", x, nkv, hd)
+        q, k, v = _qkv3(layer, x, nq, nkv, hd)
         q = rms_norm(q, layer["q_norm_w"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm_w"], cfg.rms_norm_eps)
         q = apply_rotary(q, cos, sin)
@@ -765,9 +812,7 @@ class TextDecoder:
         h = residual + _linear(layer, "o_w", out)
         residual = h
         x = rms_norm(h, layer["post_ln_w"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(_linear(layer, "gate_w", x))
-        up = _linear(layer, "up_w", x)
-        h = residual + _linear(layer, "down_w", gate * up)
+        h = residual + _linear(layer, "down_w", _gate_up(layer, x))
         return h, k[:, 0], v[:, 0]
 
     # ------------------------------------------------------------------ #
@@ -809,9 +854,10 @@ class TextDecoder:
         cfg = self.cfg
         residual = x
         h = rms_norm(x, layer["input_ln_w"], cfg.rms_norm_eps)
-        q = _qkv(layer, "q", h, cfg.num_attention_heads, cfg.head_dim)
-        k = _qkv(layer, "k", h, cfg.num_key_value_heads, cfg.head_dim)
-        v = _qkv(layer, "v", h, cfg.num_key_value_heads, cfg.head_dim)
+        q, k, v = _qkv3(
+            layer, h, cfg.num_attention_heads, cfg.num_key_value_heads,
+            cfg.head_dim,
+        )
         q = rms_norm(q, layer["q_norm_w"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm_w"], cfg.rms_norm_eps)
         q = apply_rotary(q, cos, sin)
@@ -828,9 +874,8 @@ class TextDecoder:
         x = residual + _linear(layer, "o_w", attn)
         residual = x
         h = rms_norm(x, layer["post_ln_w"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(_linear(layer, "gate_w", h))
-        up = _linear(layer, "up_w", h)
-        return residual + _linear(layer, "down_w", gate * up), k_cache, v_cache
+        h = _linear(layer, "down_w", _gate_up(layer, h))
+        return residual + h, k_cache, v_cache
 
     def decode_step_aligned(
         self,
@@ -886,9 +931,7 @@ class TextDecoder:
         groups = nq // nkv
         residual = h
         x = rms_norm(h, layer["input_ln_w"], cfg.rms_norm_eps)
-        q = _qkv(layer, "q", x, nq, hd)
-        k = _qkv(layer, "k", x, nkv, hd)
-        v = _qkv(layer, "v", x, nkv, hd)
+        q, k, v = _qkv3(layer, x, nq, nkv, hd)
         q = rms_norm(q, layer["q_norm_w"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm_w"], cfg.rms_norm_eps)
         q = apply_rotary(q, cos, sin)
@@ -920,9 +963,7 @@ class TextDecoder:
         h = residual + _linear(layer, "o_w", out)
         residual = h
         x = rms_norm(h, layer["post_ln_w"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(_linear(layer, "gate_w", x))
-        up = _linear(layer, "up_w", x)
-        h = residual + _linear(layer, "down_w", gate * up)
+        h = residual + _linear(layer, "down_w", _gate_up(layer, x))
         return h, k[:, 0], v[:, 0]
 
     # ------------------------------------------------------------------ #

@@ -20,9 +20,9 @@ final-norm + lm_head + argmax — in a single pallas_call:
     extra grid steps stream lm_head vocab tiles and track a running
     (max, argmax) over logits, so decode emits the NEXT TOKEN ID
     directly. Tie-breaking matches jnp.argmax (first max index).
-    OFF by default: through the tunneled v5e the per-grid-step overhead
-    exceeds the XLA matvec it replaces (measured +1.0 ms/token) —
-    re-measure on directly-attached hardware;
+    OFF by default: RTT-corrected A/B on chip measured folding SLOWER
+    (int4 0.80 -> 1.26, int8 0.95 -> 1.45 ms/token) — the per-tile
+    running (max, argmax) VPU work exceeds the XLA matvec it replaces;
   * the whole batch is processed per layer (weights stream ONCE per step
     regardless of batch size); hidden state lives in VMEM scratch;
   * per-layer fresh K/V are kernel outputs, written back to the slab by
@@ -78,32 +78,27 @@ def _mm(x, w, scale, cdt, int4=False):
     (j, j + N/2)): unpack with int32 arithmetic shifts (int8 shifts do
     not lower in Mosaic), run two half-width dots, concat along lanes —
     a QUARTER of the bf16 weight DMA bytes.
+
+    (A VPU matvec variant — broadcast multiply + sublane reduce — was
+    measured for the single-row case and LOST: 1.67 vs 1.28 ms/token at
+    int4; the f32 elementwise traffic and cross-sublane reduces cost
+    more than the MXU's low row utilization. The MXU dot stays.)
     """
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     if int4:
         p = w.astype(jnp.int32)
         lo = ((p << 28) >> 28).astype(cdt)
         hi = (p >> 4).astype(cdt)
         xc = x.astype(cdt)
-        y = jnp.concatenate(
-            [
-                jax.lax.dot_general(
-                    xc, lo, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ),
-                jax.lax.dot_general(
-                    xc, hi, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ),
-            ],
-            axis=-1,
-        )
+        y = jnp.concatenate([dot(xc, lo), dot(xc, hi)], axis=-1)
         return y * scale
-    y = jax.lax.dot_general(
-        x.astype(cdt), w.astype(cdt),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return y * scale
+    return dot(x.astype(cdt), w.astype(cdt)) * scale
 
 
 def _kernel(
@@ -115,31 +110,21 @@ def _kernel(
     cos_ref,      # (B, D) per-example rotary
     sin_ref,      # (B, D)
     norms_ref,    # (1, 8, H) — rows: in_ln, post_ln, q_norm, k_norm, final_ln
-    q_w_ref,      # (1, H, NqD)
-    k_w_ref,      # (1, H, NkvD)
-    v_w_ref,      # (1, H, NkvD)
-    o_w_ref,      # (1, NqD, H)
-    gate_w_ref,   # (1, H, I)
-    up_w_ref,     # (1, H, I)
-    down_w_ref,   # (1, I, H)
-    scales_ref,   # (1, 8, max_N) f32 — rows: q,k,v,o,gate,up,down scales
-    k_hbm,        # (L, B, S, Hkv, D) — HBM resident (memory_space=ANY)
-    v_hbm,        # (L, B, S, Hkv, D)
-    lm_w_ref,     # (H, LM_TILE) — lm-head vocab tile (folding only)
-    lm_s_ref,     # (8, LM_TILE) f32 — row 0: per-vocab-column scales
-    # outputs
-    h_out_ref,    # (B, H) — final hidden (written at l == L-1)
-    tok_out_ref,  # (B, 128) int32 — col 0: argmax token (folding only)
-    k_out_ref,    # (1, B, Hkv, D) fresh K for this layer
-    v_out_ref,    # (1, B, Hkv, D)
-    # scratch
-    h_scr,        # (B_pad, H) f32 — rows 0..B-1 hold the hidden state
-    k_buf,        # (2, B, BS, Hkv, D) attention DMA double buffer
-    v_buf,
-    sems,         # (2, 2) DMA semaphores
-    best_val,     # (B_pad, 128) f32 — running logit max (folding only)
-    best_idx,     # (B_pad, 128) int32
-    *,
+    # then (merged=False): q_w (1,H,NqD), k_w (1,H,NkvD), v_w (1,H,NkvD),
+    #   o_w (1,NqD,H), gate_w (1,H,I), up_w (1,H,I), down_w (1,I,H)
+    # or   (merged=True):  qkv_w (1,H,NqD+2NkvD), o_w (1,NqD,H),
+    #   gateup_w (1,H,2I), down_w (1,I,H)   — ONE dot per group
+    # then:
+    #   scales (1,8,max_N) f32 — rows q,k,v,o,gate,up,down (merged:
+    #     row 0 = qkv, row 3 = o, row 4 = gateup, row 6 = down)
+    #   k_hbm/v_hbm (L,B,S,Hkv,D) — HBM resident (memory_space=ANY)
+    #   lm_w (H, LM_TILE), lm_s (8, LM_TILE) — lm-head tile (folding)
+    # outputs:
+    #   h_out (B,H), tok_out (B,128) int32, k_out/v_out (1,B,Hkv,D)
+    # scratch:
+    #   h_scr (B_pad,H) f32, k_buf/v_buf (2,B,BS,Hkv,D) DMA buffers,
+    #   sems (2,2), best_val (B_pad,128) f32, best_idx (B_pad,128) i32
+    *refs,
     eps: float,
     hkv: int,
     groups: int,
@@ -152,7 +137,20 @@ def _kernel(
     v_true: int,
     resident: bool,
     int4: bool,
+    merged: bool,
 ):
+    if merged:
+        (qkv_w_ref, o_w_ref, gateup_w_ref, down_w_ref,
+         scales_ref, k_hbm, v_hbm, lm_w_ref, lm_s_ref,
+         h_out_ref, tok_out_ref, k_out_ref, v_out_ref,
+         h_scr, k_buf, v_buf, sems, best_val, best_idx) = refs
+    else:
+        (q_w_ref, k_w_ref, v_w_ref, o_w_ref, gate_w_ref, up_w_ref,
+         down_w_ref,
+         scales_ref, k_hbm, v_hbm, lm_w_ref, lm_s_ref,
+         h_out_ref, tok_out_ref, k_out_ref, v_out_ref,
+         h_scr, k_buf, v_buf, sems, best_val, best_idx) = refs
+
     l = pl.program_id(0)
     nl = num_layers
     hq = hkv * groups
@@ -176,10 +174,13 @@ def _kernel(
     def sc(row, n):
         return scales_ref[0, row, :n][None, :]
 
-    nq_d = q_w_ref.shape[-1] * mult
-    nkv_d = k_w_ref.shape[-1] * mult
-    inter = gate_w_ref.shape[-1] * mult
+    nkv_d = hkv * d
+    nq_d = hq * d
     h_dim = o_w_ref.shape[-1] * mult
+    if merged:
+        inter = gateup_w_ref.shape[-1] * mult // 2
+    else:
+        inter = gate_w_ref.shape[-1] * mult
 
     # attention bookkeeping (SMEM prefetch refs allow scalar loads only;
     # b is static). In DMA mode the first block's copy starts before the
@@ -216,9 +217,19 @@ def _kernel(
     def _layer():
         # ---- attention block
         xn = _rms_norm(h, norms_ref[0, 0][None, :], eps).astype(cdt)
-        q = _mm(xn, q_w_ref[0], sc(0, nq_d), cdt, int4).astype(cdt)   # (B, NqD)
-        k = _mm(xn, k_w_ref[0], sc(1, nkv_d), cdt, int4).astype(cdt)  # (B, NkvD)
-        v = _mm(xn, v_w_ref[0], sc(2, nkv_d), cdt, int4).astype(cdt)
+        if merged:
+            # ONE wide dot for q|k|v (column concat commutes with the
+            # contraction; per-column scales)
+            qkv = _mm(
+                xn, qkv_w_ref[0], sc(0, nq_d + 2 * nkv_d), cdt, int4
+            ).astype(cdt)
+            q = qkv[:, :nq_d]
+            k = qkv[:, nq_d : nq_d + nkv_d]
+            v = qkv[:, nq_d + nkv_d :]
+        else:
+            q = _mm(xn, q_w_ref[0], sc(0, nq_d), cdt, int4).astype(cdt)
+            k = _mm(xn, k_w_ref[0], sc(1, nkv_d), cdt, int4).astype(cdt)
+            v = _mm(xn, v_w_ref[0], sc(2, nkv_d), cdt, int4).astype(cdt)
 
         q = q.reshape(b * hq, d)
         k = k.reshape(b * hkv, d)
@@ -248,12 +259,22 @@ def _kernel(
 
         def _mlp_and_store(h2):
             xn2 = _rms_norm(h2, norms_ref[0, 1][None, :], eps).astype(cdt)
-            gate = _mm(xn2, gate_w_ref[0], sc(4, inter), cdt, int4).astype(cdt)
+            if merged:
+                gu = _mm(
+                    xn2, gateup_w_ref[0], sc(4, 2 * inter), cdt, int4
+                ).astype(cdt)
+                gate, up = gu[:, :inter], gu[:, inter:]
+            else:
+                gate = _mm(
+                    xn2, gate_w_ref[0], sc(4, inter), cdt, int4
+                ).astype(cdt)
+                up = _mm(
+                    xn2, up_w_ref[0], sc(5, inter), cdt, int4
+                ).astype(cdt)
             gate = (
                 gate.astype(jnp.float32)
                 * jax.nn.sigmoid(gate.astype(jnp.float32))
             ).astype(cdt)  # silu, rounded like the scan path
-            up = _mm(xn2, up_w_ref[0], sc(5, inter), cdt, int4).astype(cdt)
             down = _mm(
                 gate * up, down_w_ref[0], sc(6, h_dim), cdt, int4
             ).astype(cdt)
@@ -455,12 +476,12 @@ def _kernel(
                 )
 
 
-def _pack_aux(layers, names, quantized, nl, h_dim, d, max_n):
+def _pack_aux(layers, names, rows, quantized, nl, h_dim, d, max_n):
     """Pack per-layer scale vectors and norm vectors into tile-aligned
     tensors (a (1, N) block fails TPU tiling rules)."""
     scales_packed = jnp.ones((nl, 8, max_n), jnp.float32)
     if quantized:
-        for row, n in enumerate(names):
+        for row, n in zip(rows, names):
             sv = layers[f"{n}_s"].astype(jnp.float32)
             scales_packed = scales_packed.at[:, row, : sv.shape[-1]].set(sv)
 
@@ -503,11 +524,17 @@ def decode_layers_fused(
     """
     nl, b, s_max, hkv, d = k_slabs.shape
     h_dim = x.shape[-1]
-    quantized = "q_w_q" in layers
-    int4 = "q_w_q4" in layers
+    merged = "qkv_w_q" in layers or "qkv_w_q4" in layers
+    quantized = "q_w_q" in layers or "qkv_w_q" in layers
+    int4 = "q_w_q4" in layers or "qkv_w_q4" in layers
     mult = 2 if int4 else 1
 
-    names = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
+    if merged:
+        names = ("qkv_w", "o_w", "gateup_w", "down_w")
+        rows = (0, 3, 4, 6)  # scale rows match the unmerged layout
+    else:
+        names = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
+        rows = tuple(range(7))
     if int4:
         weights = {n: layers[f"{n}_q4"] for n in names}
     elif quantized:
@@ -516,14 +543,20 @@ def decode_layers_fused(
         weights = {n: layers[n] for n in names}
 
     # logical (unpacked) output dims; int4 blocks are half-width
-    nq_d = weights["q_w"].shape[-1] * mult
-    nkv_d = weights["k_w"].shape[-1] * mult
-    inter = weights["gate_w"].shape[-1] * mult
+    nkv_d = hkv * d
+    if merged:
+        qkv_n = weights["qkv_w"].shape[-1] * mult
+        nq_d = qkv_n - 2 * nkv_d
+        inter = weights["gateup_w"].shape[-1] * mult // 2
+        max_n = max(qkv_n, 2 * inter, h_dim)
+    else:
+        nq_d = weights["q_w"].shape[-1] * mult
+        inter = weights["gate_w"].shape[-1] * mult
+        max_n = max(nq_d, nkv_d, inter, h_dim)
     groups = nq_d // nkv_d
 
-    max_n = max(nq_d, nkv_d, inter, h_dim)
     scales_packed, norms_packed = _pack_aux(
-        layers, names, quantized or int4, nl, h_dim, d, max_n
+        layers, names, rows, quantized or int4, nl, h_dim, d, max_n
     )
 
     # --- lm head folding operands
@@ -625,6 +658,25 @@ def decode_layers_fused(
             pltpu.VMEM((2, b, block_s, hkv, d), v_slabs.dtype),
         ]
 
+    # block shapes follow the STORED arrays (int4: half-width)
+    if merged:
+        weight_specs = [
+            pl.BlockSpec((1, h_dim, qkv_n // mult), lay3),       # qkv_w
+            pl.BlockSpec((1, nq_d, h_dim // mult), lay3),        # o_w
+            pl.BlockSpec((1, h_dim, 2 * inter // mult), lay3),   # gateup_w
+            pl.BlockSpec((1, inter, h_dim // mult), lay3),       # down_w
+        ]
+    else:
+        weight_specs = [
+            pl.BlockSpec((1, h_dim, nq_d // mult), lay3),    # q_w
+            pl.BlockSpec((1, h_dim, nkv_d // mult), lay3),   # k_w
+            pl.BlockSpec((1, h_dim, nkv_d // mult), lay3),   # v_w
+            pl.BlockSpec((1, nq_d, h_dim // mult), lay3),    # o_w
+            pl.BlockSpec((1, h_dim, inter // mult), lay3),   # gate_w
+            pl.BlockSpec((1, h_dim, inter // mult), lay3),   # up_w
+            pl.BlockSpec((1, inter, h_dim // mult), lay3),   # down_w
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
@@ -633,14 +685,7 @@ def decode_layers_fused(
             pl.BlockSpec((b, d), const_idx),           # cos
             pl.BlockSpec((b, d), const_idx),           # sin
             pl.BlockSpec((1, 8, h_dim), lay3),         # packed norms
-            # block shapes follow the STORED arrays (int4: half-width)
-            pl.BlockSpec((1, h_dim, nq_d // mult), lay3),    # q_w
-            pl.BlockSpec((1, h_dim, nkv_d // mult), lay3),   # k_w
-            pl.BlockSpec((1, h_dim, nkv_d // mult), lay3),   # v_w
-            pl.BlockSpec((1, nq_d, h_dim // mult), lay3),    # o_w
-            pl.BlockSpec((1, h_dim, inter // mult), lay3),   # gate_w
-            pl.BlockSpec((1, h_dim, inter // mult), lay3),   # up_w
-            pl.BlockSpec((1, inter, h_dim // mult), lay3),   # down_w
+            *weight_specs,
             pl.BlockSpec((1, 8, max_n), lay3),         # packed scales
             *slab_specs,                               # k/v slab
             pl.BlockSpec((h_dim, lm_w.shape[1] if not fold_lm else LM_TILE),
@@ -677,6 +722,7 @@ def decode_layers_fused(
         v_true=v_true,
         resident=resident,
         int4=int4,
+        merged=merged,
     )
 
     h_out, tok_out, ks, vs = pl.pallas_call(
@@ -695,9 +741,7 @@ def decode_layers_fused(
     )(
         start, end, x, cos, sin,
         norms_packed,
-        weights["q_w"], weights["k_w"], weights["v_w"],
-        weights["o_w"],
-        weights["gate_w"], weights["up_w"], weights["down_w"],
+        *(weights[n] for n in names),
         scales_packed,
         k_slabs, v_slabs,
         lm_w, lm_s,

@@ -145,3 +145,106 @@ def unpack_int4(packed, dtype=jnp.float32):
     lo = (p << 28) >> 28  # low nibble, sign-extended
     hi = p >> 4           # high nibble (arithmetic shift of the byte)
     return jnp.concatenate([lo, hi], axis=-1).astype(dtype)
+
+
+# ---------------------------------------------------------------------- #
+# int4 matvec over a LARGE output dim (the lm_head): vocab is streamed in
+# tiles and each tile is nibble-packed WITHIN ITSELF (col j paired with
+# j + tile/2), so a grid step unpacks one packed block into one output
+# tile with no cross-tile shuffles. This is what lets the 151k-vocab
+# lm_head go int4: the XLA two-half-dots trick (see _linear) would
+# materialize the full bf16 matrix in HBM, but here nibbles unpack in
+# VMEM tile by tile — HALF the int8 HBM stream.
+# ---------------------------------------------------------------------- #
+
+MATVEC_TILE = 8192
+
+
+def quantize_weight_int4_tiled(w, tile: int = MATVEC_TILE):
+    """Tile-local int4 packing of (K, N) weights for quant_matvec_int4.
+
+    N is zero-padded to a multiple of ``tile``; each tile packs its own
+    columns (j, j + tile/2) into one int8. Returns
+    (packed int8 (K, N_pad // 2), scales f32 (N,) — unpadded).
+    """
+    wf = jnp.asarray(w, jnp.float32)
+    k, n = wf.shape
+    n_pad = -(-n // tile) * tile
+    absmax = jnp.max(jnp.abs(wf), axis=0)
+    scales = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scales[None, :]), -7, 7).astype(jnp.int8)
+    q = jnp.pad(q, ((0, 0), (0, n_pad - n)))
+    qt = q.reshape(k, n_pad // tile, 2, tile // 2)
+    packed = (qt[:, :, 0] & jnp.int8(0xF)) | (qt[:, :, 1] << 4)
+    return packed.reshape(k, n_pad // 2).astype(jnp.int8), scales
+
+
+def _qmv4_kernel(x_ref, w_ref, s_ref, o_ref):
+    p = w_ref[:].astype(jnp.int32)  # (K, tile/2)
+    cdt = x_ref.dtype
+    lo = ((p << 28) >> 28).astype(cdt)
+    hi = (p >> 4).astype(cdt)
+    x = x_ref[:]
+    y = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                x, lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            jax.lax.dot_general(
+                x, hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+        ],
+        axis=-1,
+    )
+    o_ref[:] = y * s_ref[0][None, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "interpret")
+)
+def quant_matvec_int4(
+    x,       # (R, K) float
+    w_q4,    # (K, N_pad // 2) int8, tile-local packing
+    scales,  # (N,) f32 — N may be below the padded width
+    *,
+    tile: int = MATVEC_TILE,
+    interpret: bool = False,
+):
+    """x @ unpack(w_q4) * scales -> (R, N) f32 logits.
+
+    Streams the packed weight in ``tile``-column blocks (Pallas double-
+    buffers the next block behind the current dot). Padded columns carry
+    zero weights and scale 1 and are sliced off the result.
+    """
+    r, k = x.shape
+    n_pad = w_q4.shape[1] * 2
+    n_true = scales.shape[0]
+    n_tiles = n_pad // tile
+    s_pad = jnp.ones((8, n_pad), jnp.float32)
+    s_pad = s_pad.at[0, :n_true].set(scales.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        _qmv4_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((r, k), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile // 2), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, tile), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, n_pad), jnp.float32),
+        # the unpacked bf16 halves (2 * K * tile/2) live in VMEM on top
+        # of the double-buffered packed blocks — the default 18 MB
+        # scoped budget is too small at tile=8192
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, w_q4, s_pad)
+    return out[:, :n_true]

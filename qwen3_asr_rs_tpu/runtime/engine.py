@@ -109,8 +109,12 @@ class AsrEngine:
                     "use 'int8' for sharded serving"
                 )
             logger.info("Quantizing decoder weights to %s", quantize)
+            # merged qkv/gateup only off-mesh: the Megatron TP param
+            # specs shard the per-projection names
             self.dec_params = quantize_decoder_params(
-                self.dec_params, bits=4 if quantize == "int4" else 8
+                self.dec_params,
+                bits=4 if quantize == "int4" else 8,
+                merge=mesh is None,
             )
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")

@@ -104,16 +104,37 @@ def make_handler(worker: BatchingWorker):
 
 
 def serve(engine: AsrEngine, host: str = "0.0.0.0", port: int = 8080,
-          batch_window_ms: float = 0.0, max_batch: int = 8):
-    """Run the continuous-batching HTTP server (blocking)."""
+          batch_window_ms: float = 0.0, max_batch: int = 8,
+          compute_on_main: bool = True):
+    """Run the continuous-batching HTTP server (blocking).
+
+    By default the BATCHER runs on the calling thread and HTTP serves
+    from a daemon thread: some PJRT transports (the tunneled TPU client
+    here) hang or abort when XLA *compilation* is triggered from a
+    secondary thread, and the serving loop compiles a graph per bucket
+    on first use. ``compute_on_main=False`` restores the inverse
+    arrangement (HTTP on the calling thread, batcher in the background).
+    """
     worker = BatchingWorker(engine, batch_window_ms, max_batch)
-    worker.start()
     server = ThreadingHTTPServer((host, port), make_handler(worker))
     logger.info("serving on %s:%d", host, port)
-    try:
-        server.serve_forever()
-    finally:
-        worker.stop()
+    if compute_on_main:
+        import threading
+
+        http_thread = threading.Thread(
+            target=server.serve_forever, daemon=True
+        )
+        http_thread.start()
+        try:
+            worker.run()  # blocking batcher loop on this thread
+        finally:
+            server.shutdown()
+    else:
+        worker.start()
+        try:
+            server.serve_forever()
+        finally:
+            worker.stop()
 
 
 def main(argv=None):

@@ -18,14 +18,36 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas.quant_matmul import quantize_weight, quantize_weight_int4
+from ..ops.pallas.quant_matmul import (
+    quantize_weight,
+    quantize_weight_int4,
+    quantize_weight_int4_tiled,
+)
 
 PyTree = Any
 
 QUANT_LAYER_WEIGHTS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
 
+# Merged layout: q|k|v and gate|up are column-concatenated before
+# quantization, so decode runs ONE wider MXU dot per group instead of
+# three/two narrow ones (fewer MXU pipeline drains at batch 1 — decode
+# matvecs are latency bound, not FLOP bound). Per-output-column scales
+# make merged quantization equivalent to separate quantization:
+# x @ [A|B] == [x@A | x@B] per column and each column's absmax/scale
+# only sees its own matrix (XLA may reassociate the wider contraction
+# differently, so differences are ~1 ulp, not zero).
+MERGED_GROUPS = {
+    "qkv_w": ("q_w", "k_w", "v_w"),
+    "gateup_w": ("gate_w", "up_w"),
+}
 
-def quantize_decoder_params(params: PyTree, bits: int = 8) -> PyTree:
+
+def quantize_decoder_params(
+    params: PyTree,
+    bits: int = 8,
+    merge: bool = True,
+    lm_bits: int | None = None,
+) -> PyTree:
     """Return a new decoder param pytree with int8 (or int4) linears.
 
     bits=4 packs each decoder linear two-values-per-int8 (``{name}_q4``,
@@ -33,12 +55,33 @@ def quantize_decoder_params(params: PyTree, bits: int = 8) -> PyTree:
     bf16 HBM bytes on the decode-dominant weight streams. The lm_head
     stays int8 in both modes: it is read once per token through an XLA
     matvec where nibble unpacking would materialize the full bf16 matrix.
+
+    ``merge=True`` (default) emits column-merged ``qkv_w`` / ``gateup_w``
+    tensors instead of separate q/k/v and gate/up (see MERGED_GROUPS;
+    same math, fewer decode dots). Pass ``merge=False``
+    under a TP mesh — the Megatron param specs shard the per-projection
+    names. Merging is skipped automatically when projection biases exist.
     """
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
     layers = dict(params["layers"])
-    for name in QUANT_LAYER_WEIGHTS:
-        w = layers.pop(name)  # (L, in, out)
+    merge = merge and not any(
+        f"{n[:-2]}_b" in layers for n in QUANT_LAYER_WEIGHTS
+    )
+
+    plan: dict[str, Any] = {}
+    if merge:
+        for merged_name, parts in MERGED_GROUPS.items():
+            plan[merged_name] = jnp.concatenate(
+                [layers.pop(p) for p in parts], axis=-1
+            )
+        plan["o_w"] = layers.pop("o_w")
+        plan["down_w"] = layers.pop("down_w")
+    else:
+        for name in QUANT_LAYER_WEIGHTS:
+            plan[name] = layers.pop(name)
+
+    for name, w in plan.items():  # w: (L, in, out)
         if bits == 4:
             w_q, s = jax.vmap(quantize_weight_int4)(w)
             layers[f"{name}_q4"] = w_q
@@ -50,24 +93,38 @@ def quantize_decoder_params(params: PyTree, bits: int = 8) -> PyTree:
     out = dict(params)
     out["layers"] = layers
 
-    # lm_head (V, H): logits contract over H. Store as (H, V) int8 with
-    # per-vocab-column scales so the kernel computes h @ W directly.
+    # lm_head (V, H): logits contract over H. Store as (H, V) int8 (or
+    # tile-packed int4 when bits=4) with per-vocab-column scales so the
+    # kernel computes h @ W directly. int4 needs the Pallas matvec
+    # kernel (ops/pallas/quant_matmul.quant_matvec_int4) — the XLA
+    # two-half-dots unpack would materialize the full bf16 matrix;
+    # lm_bits=8 (or ASR_LM_BITS=8) keeps the lm_head int8 under bits=4.
+    import os
+
     lm = params["lm_head"]
-    lm_q, lm_s = quantize_weight(jnp.transpose(lm))
-    out["lm_head_q"] = lm_q
-    out["lm_head_s"] = lm_s.astype(jnp.float32)
+    if lm_bits is None:
+        lm_bits = int(os.environ.get("ASR_LM_BITS", bits))
+    if bits == 4 and lm_bits == 4:
+        lm_q4, lm_s = quantize_weight_int4_tiled(jnp.transpose(lm))
+        out["lm_head_q4"] = lm_q4
+        out["lm_head_s"] = lm_s.astype(jnp.float32)
+    else:
+        lm_q, lm_s = quantize_weight(jnp.transpose(lm))
+        out["lm_head_q"] = lm_q
+        out["lm_head_s"] = lm_s.astype(jnp.float32)
     del out["lm_head"]
     return out
 
 
 def is_quantized(params: PyTree) -> bool:
-    return "lm_head_q" in params
+    return "lm_head_q" in params or "lm_head_q4" in params
 
 
 def quant_bits(params: PyTree) -> int:
     """0 (unquantized), 8, or 4 for a decoder param pytree."""
-    if "q_w_q4" in params.get("layers", {}):
+    layers = params.get("layers", {})
+    if "q_w_q4" in layers or "qkv_w_q4" in layers:
         return 4
-    if "q_w_q" in params.get("layers", {}):
+    if "q_w_q" in layers or "qkv_w_q" in layers:
         return 8
     return 0

@@ -57,3 +57,52 @@ def test_quantize_weight_preserves_extremes():
     np.testing.assert_allclose(
         np.asarray(dequantize(w_q, s)), np.asarray(w), atol=1e-6
     )
+
+
+def test_quant_matvec_int4_tiled(rng):
+    """Tile-local int4 pack + Pallas matvec == dequantized reference."""
+    import jax.numpy as jnp
+
+    from qwen3_asr_rs_tpu.ops.pallas.quant_matmul import (
+        quant_matvec_int4,
+        quantize_weight_int4_tiled,
+    )
+
+    K, N, TILE = 256, 1000, 512  # N not a multiple of the tile
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.02, jnp.float32)
+    packed, scales = quantize_weight_int4_tiled(w, tile=TILE)
+    assert packed.shape == (K, 512)  # 1000 -> 1024 padded, two per byte
+    x = jnp.asarray(rng.standard_normal((3, K)) * 0.5, jnp.float32)
+    y = quant_matvec_int4(x, packed, scales, tile=TILE, interpret=True)
+    assert y.shape == (3, N)
+    q = jnp.clip(jnp.round(w / scales[None, :]), -7, 7)
+    want = np.asarray(x) @ (np.asarray(q) * np.asarray(scales)[None, :])
+    np.testing.assert_allclose(np.asarray(y), want, atol=1e-4, rtol=1e-4)
+
+
+def test_int4_lm_head_logits_parity(rng):
+    """bits=4 lm_head (Pallas matvec) ~= int8 lm_head logits, same argmax."""
+    import jax.numpy as jnp
+
+    from qwen3_asr_rs_tpu.config import tiny_test_config
+    from qwen3_asr_rs_tpu.models.text_decoder import (
+        TextDecoder, init_decoder_params,
+    )
+    from qwen3_asr_rs_tpu.weights.quantize import quantize_decoder_params
+
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    dec = TextDecoder(cfg, max_position=64)
+    ids = jnp.asarray([[3, 7, 1, 9, 2]], jnp.int32)
+    h = dec.embed(params, ids)
+    q4 = quantize_decoder_params(params, bits=4)
+    assert "lm_head_q4" in q4
+    q8 = quantize_decoder_params(params, bits=4, lm_bits=8)
+    assert "lm_head_q" in q8
+    got = np.asarray(dec.forward_full(q4, h, jnp.arange(5)))
+    want = np.asarray(dec.forward_full(q8, h, jnp.arange(5)))
+    assert got.shape == want.shape
+    # int4 vs int8 lm quantization noise is bounded; argmax should agree
+    # on synthetic weights with a wide logit spread
+    assert np.abs(got - want).max() < 0.5
+    assert (got.argmax(-1) == want.argmax(-1)).mean() == 1.0

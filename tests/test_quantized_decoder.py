@@ -20,7 +20,7 @@ def test_quantized_forward_matches_dequantized_reference(rng):
     """int8 pallas path == forward with explicitly dequantized bf16 weights."""
     cfg = tiny_test_config().text
     params = init_decoder_params(cfg, dtype=jnp.float32)
-    qparams = quantize_decoder_params(params)
+    qparams = quantize_decoder_params(params, merge=False)
     assert is_quantized(qparams)
 
     # reference: plain decoder with the dequantized weights
@@ -111,7 +111,9 @@ def test_int4_forward_matches_dequantized_reference(rng):
 
     cfg = tiny_test_config().text
     params = init_decoder_params(cfg, dtype=jnp.float32)
-    qparams = quantize_decoder_params(params, bits=4)
+    qparams = quantize_decoder_params(
+        params, bits=4, merge=False, lm_bits=8
+    )
     assert is_quantized(qparams)
 
     deq = {
@@ -164,3 +166,44 @@ def test_engine_with_int4_quantization(rng):
     samples = (rng.standard_normal(16000) * 0.1).astype(np.float32)
     result = eng.transcribe_samples(samples)
     assert isinstance(result.raw_output, str)
+
+
+def test_merged_qkv_gateup_matches_separate(rng):
+    """Merged qkv/gateup quantization == separate projections (both bits).
+
+    Column-concat commutes with the contraction and scales are
+    per-output-column, so the merged layout is the same math; XLA may
+    reassociate the wider dot, hence a ~1 ulp tolerance rather than 0.
+    """
+    from qwen3_asr_rs_tpu.models.text_decoder import KVCache
+
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    dec = TextDecoder(cfg, max_position=64)
+    ids = jnp.asarray([[3, 7, 1, 9, 2]], jnp.int32)
+    hidden = dec.embed(params, ids)
+
+    for bits in (8, 4):
+        qm = quantize_decoder_params(params, bits=bits, merge=True)
+        qs = quantize_decoder_params(params, bits=bits, merge=False)
+        suffix = "_q4" if bits == 4 else "_q"
+        assert f"qkv_w{suffix}" in qm["layers"]
+        assert f"gateup_w{suffix}" in qm["layers"]
+        assert f"q_w{suffix}" not in qm["layers"]
+
+        got = dec.forward_full(qm, hidden, jnp.arange(5))
+        want = dec.forward_full(qs, hidden, jnp.arange(5))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-5
+        )
+
+        # decode path (stale-slab scan) parity too
+        cache = KVCache.zeros(cfg, 1, 16, dtype=jnp.float32)
+        _, cm = dec.prefill(qm, hidden, jnp.arange(5), cache, jnp.int32(5))
+        _, cs = dec.prefill(qs, hidden, jnp.arange(5), cache, jnp.int32(5))
+        tok = jnp.asarray([3], jnp.int32)
+        lm, _ = dec.decode_step(qm, tok, jnp.int32(5), cm)
+        ls, _ = dec.decode_step(qs, tok, jnp.int32(5), cs)
+        np.testing.assert_allclose(
+            np.asarray(lm), np.asarray(ls), atol=1e-4, rtol=1e-5
+        )
