@@ -44,7 +44,13 @@ PyTree = Any
 class KVCache:
     """Preallocated slab KV cache.
 
-    k, v: (num_layers, batch, max_len, num_kv_heads, head_dim)
+    k, v: (num_layers, batch, num_kv_heads, max_len, head_dim)
+
+    The head dim sits OUTSIDE the slot dim so decode attention can run
+    ONE batched `dot_general` over all KV heads per layer: Mosaic lowers
+    batched dots natively, and the (Hkv, S, D) layout measured ~18x
+    faster per layer than a per-head python loop over an (S, Hkv, D)
+    slab (an in-kernel transpose costs more than it saves).
     """
 
     k: jax.Array
@@ -61,15 +67,15 @@ class KVCache:
         shape = (
             cfg.num_hidden_layers,
             batch,
-            max_len,
             cfg.num_key_value_heads,
+            max_len,
             cfg.head_dim,
         )
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 jax.tree_util.register_dataclass(KVCache, data_fields=["k", "v"], meta_fields=[])
@@ -212,10 +218,14 @@ class TextDecoder:
         k = apply_rotary(k, cos, sin)
 
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, 0, 0, 0)
+            k_cache,
+            jnp.transpose(k, (0, 2, 1, 3)).astype(k_cache.dtype),
+            (0, 0, 0, 0),
         )
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, 0, 0, 0)
+            v_cache,
+            jnp.transpose(v, (0, 2, 1, 3)).astype(v_cache.dtype),
+            (0, 0, 0, 0),
         )
 
         attn = attention(q, k, v, causal=True)
@@ -374,17 +384,21 @@ class TextDecoder:
         # j is attendable by chunk query i iff j <= start + i, which covers
         # both the history [0, start) and the fresh block causally.
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, start, 0, 0)
+            k_cache,
+            jnp.transpose(k, (0, 2, 1, 3)).astype(k_cache.dtype),
+            (0, 0, start, 0),
         )
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, start, 0, 0)
+            v_cache,
+            jnp.transpose(v, (0, 2, 1, 3)).astype(v_cache.dtype),
+            (0, 0, start, 0),
         )
 
-        s_max = k_cache.shape[1]
+        s_max = k_cache.shape[2]
         scale = hd ** -0.5
         qg = q.reshape(b, p_len, nkv, groups, hd)
         sc = jnp.einsum(
-            "bqhgd,bkhd->bhgqk", qg, k_cache.astype(q.dtype),
+            "bqhgd,bhkd->bhgqk", qg, k_cache.astype(q.dtype),
             preferred_element_type=jnp.float32,
         ) * scale
         ok = (
@@ -396,7 +410,7 @@ class TextDecoder:
         p = jnp.exp(sc - m)
         p = p / jnp.sum(p, -1, keepdims=True)
         out = jnp.einsum(
-            "bhgqk,bkhd->bqhgd", p.astype(v_cache.dtype),
+            "bhgqk,bhkd->bqhgd", p.astype(v_cache.dtype),
             v_cache,
             preferred_element_type=jnp.float32,
         )
@@ -453,15 +467,21 @@ class TextDecoder:
         vs = vs.astype(cache.v.dtype)
         if jnp.ndim(pos) == 0:
             k_new = jax.lax.dynamic_update_slice(
-                cache.k, ks[:, :, None], (0, 0, pos, 0, 0)
+                cache.k, ks[:, :, :, None], (0, 0, 0, pos, 0)
             )
             v_new = jax.lax.dynamic_update_slice(
-                cache.v, vs[:, :, None], (0, 0, pos, 0, 0)
+                cache.v, vs[:, :, :, None], (0, 0, 0, pos, 0)
             )
         else:
             barange = jnp.arange(b)
-            k_new = cache.k.at[:, barange, pos].set(ks)
-            v_new = cache.v.at[:, barange, pos].set(vs)
+            # advanced indices split by a slice put the broadcast (B,)
+            # dim first: indexed subspace is (B, L, Hkv, D)
+            k_new = cache.k.at[:, barange, :, pos].set(
+                jnp.swapaxes(ks, 0, 1)
+            )
+            v_new = cache.v.at[:, barange, :, pos].set(
+                jnp.swapaxes(vs, 0, 1)
+            )
         cache = KVCache(k=k_new, v=v_new)
         return self.logits(params, hidden)[:, 0], cache
 
@@ -648,12 +668,12 @@ class TextDecoder:
     def _write_fresh(self, cache: KVCache, ks, vs, slot) -> KVCache:
         """One slab write of all layers' fresh K/V at a shared slot."""
         k_new = jax.lax.dynamic_update_slice(
-            cache.k, ks[:, :, None].astype(cache.k.dtype),
-            (0, 0, slot, 0, 0),
+            cache.k, ks[:, :, :, None].astype(cache.k.dtype),
+            (0, 0, 0, slot, 0),
         )
         v_new = jax.lax.dynamic_update_slice(
-            cache.v, vs[:, :, None].astype(cache.v.dtype),
-            (0, 0, slot, 0, 0),
+            cache.v, vs[:, :, :, None].astype(cache.v.dtype),
+            (0, 0, 0, slot, 0),
         )
         return KVCache(k=k_new, v=v_new)
 
@@ -863,10 +883,14 @@ class TextDecoder:
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, 0, 0, 0)
+            k_cache,
+            jnp.transpose(k, (0, 2, 1, 3)).astype(k_cache.dtype),
+            (0, 0, 0, 0),
         )
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, 0, 0, 0)
+            v_cache,
+            jnp.transpose(v, (0, 2, 1, 3)).astype(v_cache.dtype),
+            (0, 0, 0, 0),
         )
         attn = attention(q, k, v, causal=True, kv_start=kv_start)
         b, s, _, _ = attn.shape
@@ -909,10 +933,12 @@ class TextDecoder:
                 kv_start.astype(jnp.int32), b_arr,
             )
         k_new = jax.lax.dynamic_update_slice(
-            cache.k, ks[:, :, None].astype(cache.k.dtype), (0, 0, slot, 0, 0)
+            cache.k, ks[:, :, :, None].astype(cache.k.dtype),
+            (0, 0, 0, slot, 0),
         )
         v_new = jax.lax.dynamic_update_slice(
-            cache.v, vs[:, :, None].astype(cache.v.dtype), (0, 0, slot, 0, 0)
+            cache.v, vs[:, :, :, None].astype(cache.v.dtype),
+            (0, 0, 0, slot, 0),
         )
         return (
             self.logits(params, hidden)[:, 0],
@@ -939,7 +965,7 @@ class TextDecoder:
         scale = hd ** -0.5
         qg = q.reshape(b, 1, nkv, groups, hd)
         sc = jnp.einsum(
-            "bqhgd,bkhd->bhgqk", qg, k_lay,
+            "bqhgd,bhkd->bhgqk", qg, k_lay,
             preferred_element_type=jnp.float32,
         ) * scale
         sc = jnp.where(live[:, None, None, None, :], sc, -1e9)
@@ -952,7 +978,7 @@ class TextDecoder:
         p = jnp.exp(all_sc - m)
         p = p / jnp.sum(p, -1, keepdims=True)
         out = jnp.einsum(
-            "bhgqk,bkhd->bqhgd", p[..., :-1].astype(v_lay.dtype), v_lay,
+            "bhgqk,bhkd->bqhgd", p[..., :-1].astype(v_lay.dtype), v_lay,
             preferred_element_type=jnp.float32,
         )
         out = out + jnp.einsum(

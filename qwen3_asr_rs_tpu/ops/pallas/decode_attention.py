@@ -11,13 +11,17 @@ of einsums:
     Pallas re-addresses the same block (no new DMA) and the body skips —
     decode attention cost scales with the LIVE length, not the cap.
   * **No scan-slice copies.** The kernel takes the full stacked
-    (L, B, S, Hkv, D) slab plus the layer index as a scalar-prefetch
+    (L, B, Hkv, S, D) slab plus the layer index as a scalar-prefetch
     argument, so calling it inside the `lax.scan` over layers does not
     slice (slicing a scanned operand into a custom call materializes a
     copy of the whole layer slab).
 
+The slab layout keeps the KV-head dim OUTSIDE the slot dim so one
+batched `dot_general` covers every head (Mosaic lowers batched dots
+natively; measured ~18x faster than a per-head loop at B=1, S=704).
+
 Semantics (identical to the dense path in text_decoder._decode_layer_masked):
-  out[b,h] = softmax_k([scores(q_bh, K[l, b, start_b:end_b]),
+  out[b,h] = softmax_k([scores(q_bh, K[l, b, :, start_b:end_b]),
                         score(q_bh, k_self_b)]) @ [V; v_self]
 with Hq = G * Hkv query heads grouped onto kv heads.
 
@@ -39,6 +43,26 @@ MASK_VALUE = -1e9
 INIT_M = -1e30
 
 
+def _scores(q, k, hkv, groups, bs):
+    """Batched GQA scores: q (Hq, D) x k (Hkv, BS, D) -> (Hq, BS) f32."""
+    d = q.shape[-1]
+    qg = q.reshape(hkv, groups, d)
+    return jax.lax.dot_general(
+        qg, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(hkv * groups, bs)
+
+
+def _weighted_v(p, v, hkv, groups, bs):
+    """Batched GQA p@V: p (Hq, BS) x v (Hkv, BS, D) -> (Hq, D) f32."""
+    d = v.shape[-1]
+    pg = p.reshape(hkv, groups, bs)
+    return jax.lax.dot_general(
+        pg, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(hkv * groups, d)
+
+
 def _kernel(
     layer_ref,   # (1,) int32 scalar prefetch
     start_ref,   # (B,) int32 scalar prefetch
@@ -46,8 +70,8 @@ def _kernel(
     q_ref,       # (1, Hq, D)
     k_self_ref,  # (1, Hkv, D)
     v_self_ref,  # (1, Hkv, D)
-    k_ref,       # (1, 1, BS, Hkv, D)
-    v_ref,       # (1, 1, BS, Hkv, D)
+    k_ref,       # (1, 1, Hkv, BS, D)
+    v_ref,       # (1, 1, Hkv, BS, D)
     o_ref,       # (1, Hq, D)
     m_scr,       # (Hq, 128) f32 (col 0 live)
     l_scr,       # (Hq, 128) f32 (col 0 live)
@@ -79,17 +103,8 @@ def _kernel(
 
     @pl.when(block_live)
     def _process():
-        rows = []
-        for h in range(hkv):
-            qh = q[h * groups : (h + 1) * groups]         # (G, D)
-            kh = k_ref[0, 0, :, h, :].astype(jnp.float32)  # (BS, D)
-            rows.append(
-                jax.lax.dot_general(
-                    qh, kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        s = jnp.concatenate(rows, axis=0) * scale  # (Hq, BS)
+        k = k_ref[0, 0].astype(jnp.float32)  # (Hkv, BS, D)
+        s = _scores(q, k, hkv, groups, block_s) * scale  # (Hq, BS)
 
         slot = si * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (hq, block_s), 1
@@ -111,21 +126,12 @@ def _kernel(
         # would poison the matmul)
         vrow_ok = (
             si * block_s
-            + jax.lax.broadcasted_iota(jnp.int32, (block_s, 1), 0)
+            + jax.lax.broadcasted_iota(jnp.int32, (1, block_s, 1), 1)
         ) < s_max
-        pv_rows = []
-        for h in range(hkv):
-            ph = p[h * groups : (h + 1) * groups]
-            vh = jnp.where(
-                vrow_ok, v_ref[0, 0, :, h, :].astype(jnp.float32), 0.0
-            )
-            pv_rows.append(
-                jax.lax.dot_general(
-                    ph, vh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        acc_scr[:] = acc_scr[:] * corr + jnp.concatenate(pv_rows, axis=0)
+        v = jnp.where(vrow_ok, v_ref[0, 0].astype(jnp.float32), 0.0)
+        acc_scr[:] = acc_scr[:] * corr + _weighted_v(
+            p, v, hkv, groups, block_s
+        )
         m_scr[:, :1] = m_new
 
     @pl.when(si == ns - 1)
@@ -133,32 +139,15 @@ def _kernel(
         # fold in the self token, then normalize
         ks = k_self_ref[0].astype(jnp.float32)  # (Hkv, D)
         vs = v_self_ref[0].astype(jnp.float32)
-        s_rows = []
-        for h in range(hkv):
-            qh = q[h * groups : (h + 1) * groups]
-            s_rows.append(
-                jax.lax.dot_general(
-                    qh, ks[h : h + 1], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        s_self = jnp.concatenate(s_rows, axis=0) * scale  # (Hq, 1)
+        s_self = _scores(q, ks[:, None, :], hkv, groups, 1) * scale
         m_prev = m_scr[:, :1]
         m_fin = jnp.maximum(m_prev, s_self)
         corr = jnp.exp(m_prev - m_fin)
         p_self = jnp.exp(s_self - m_fin)  # (Hq, 1)
         l_fin = l_scr[:, :1] * corr + p_self
-        v_rows = []
-        for h in range(hkv):
-            v_rows.append(
-                jax.lax.dot_general(
-                    p_self[h * groups : (h + 1) * groups],
-                    vs[h : h + 1],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        acc_fin = acc_scr[:] * corr + jnp.concatenate(v_rows, axis=0)
+        acc_fin = acc_scr[:] * corr + _weighted_v(
+            p_self, vs[:, None, :], hkv, groups, 1
+        )
         o_ref[0] = (acc_fin / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
 
 
@@ -167,8 +156,8 @@ def _kernel(
 )
 def decode_attention_slab(
     q,        # (B, Hq, D)
-    k_slabs,  # (L, B, S, Hkv, D) — the FULL stacked cache
-    v_slabs,  # (L, B, S, Hkv, D)
+    k_slabs,  # (L, B, Hkv, S, D) — the FULL stacked cache
+    v_slabs,  # (L, B, Hkv, S, D)
     k_self,   # (B, Hkv, D)
     v_self,   # (B, Hkv, D)
     layer,    # scalar int32: which layer's slab to read
@@ -180,7 +169,7 @@ def decode_attention_slab(
     interpret: bool = False,
 ):
     b, hq, d = q.shape
-    _, _, s_max, hkv, _ = k_slabs.shape
+    _, _, hkv, s_max, _ = k_slabs.shape
     groups = hq // hkv
     if scale is None:
         scale = d ** -0.5
@@ -198,7 +187,7 @@ def decode_attention_slab(
         last_live = jnp.maximum(
             (end_ref[bb] + block_s - 1) // block_s - 1, 0
         )
-        return (layer_ref[0], bb, jnp.minimum(si, last_live), 0, 0)
+        return (layer_ref[0], bb, 0, jnp.minimum(si, last_live), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -207,8 +196,8 @@ def decode_attention_slab(
             pl.BlockSpec((1, hq, d), lambda bb, si, *_: (bb, 0, 0)),
             pl.BlockSpec((1, hkv, d), lambda bb, si, *_: (bb, 0, 0)),
             pl.BlockSpec((1, hkv, d), lambda bb, si, *_: (bb, 0, 0)),
-            pl.BlockSpec((1, 1, block_s, hkv, d), kv_index),
-            pl.BlockSpec((1, 1, block_s, hkv, d), kv_index),
+            pl.BlockSpec((1, 1, hkv, block_s, d), kv_index),
+            pl.BlockSpec((1, 1, hkv, block_s, d), kv_index),
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda bb, si, *_: (bb, 0, 0)),
         scratch_shapes=[
@@ -259,11 +248,11 @@ def _dma_kernel(
     q_ref,       # (1, Hq, D) VMEM
     k_self_ref,  # (1, Hkv, D) VMEM
     v_self_ref,  # (1, Hkv, D) VMEM
-    k_hbm,       # (L, B, S, Hkv, D) ANY/HBM
-    v_hbm,       # (L, B, S, Hkv, D) ANY/HBM
+    k_hbm,       # (L, B, Hkv, S, D) ANY/HBM
+    v_hbm,       # (L, B, Hkv, S, D) ANY/HBM
     o_ref,       # (1, Hq, D) VMEM
-    k_buf,       # (2, BS, Hkv, D) VMEM scratch
-    v_buf,       # (2, BS, Hkv, D) VMEM scratch
+    k_buf,       # (2, Hkv, BS, D) VMEM scratch
+    v_buf,       # (2, Hkv, BS, D) VMEM scratch
     sems,        # (2, 2) DMA semaphores
     *,
     scale: float,
@@ -282,33 +271,15 @@ def _dma_kernel(
     def _write_out(m_prev, l_prev, acc):
         ks = k_self_ref[0].astype(jnp.float32)
         vs = v_self_ref[0].astype(jnp.float32)
-        s_rows = []
-        for h in range(hkv):
-            s_rows.append(
-                jax.lax.dot_general(
-                    q[h * groups : (h + 1) * groups], ks[h : h + 1],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        s_self = jnp.concatenate(s_rows, axis=0) * scale
+        s_self = _scores(q, ks[:, None, :], hkv, groups, 1) * scale
         m_fin = jnp.maximum(m_prev, s_self)
         corr = jnp.exp(m_prev - m_fin)
         p_self = jnp.exp(s_self - m_fin)
         l_fin = l_prev * corr + p_self
-        v_rows = []
-        for h in range(hkv):
-            v_rows.append(
-                jax.lax.dot_general(
-                    p_self[h * groups : (h + 1) * groups], vs[h : h + 1],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        acc_fin = acc * corr + jnp.concatenate(v_rows, axis=0)
+        acc_fin = acc * corr + _weighted_v(
+            p_self, vs[:, None, :], hkv, groups, 1
+        )
         o_ref[0] = (acc_fin / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
-
-
 
     first_blk = start // block_s
     n_blocks = jnp.maximum(pl.cdiv(end, block_s) - first_blk, 0)
@@ -320,7 +291,7 @@ def _dma_kernel(
 
     def dma(slot, i, buf, hbm, sem_col):
         return pltpu.make_async_copy(
-            hbm.at[layer, b, pl.ds(blk_start(i), block_s)],
+            hbm.at[layer, b, :, pl.ds(blk_start(i), block_s)],
             buf.at[slot],
             sems.at[slot, sem_col],
         )
@@ -343,18 +314,9 @@ def _dma_kernel(
             dma(slot, i, k_buf, k_hbm, 0).wait()
             dma(slot, i, v_buf, v_hbm, 1).wait()
 
-            kh_all = k_buf[slot].astype(jnp.float32)  # (BS, Hkv, D)
+            kh_all = k_buf[slot].astype(jnp.float32)  # (Hkv, BS, D)
             vh_all = v_buf[slot].astype(jnp.float32)
-            rows = []
-            for h in range(hkv):
-                rows.append(
-                    jax.lax.dot_general(
-                        q[h * groups : (h + 1) * groups], kh_all[:, h, :],
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                )
-            s = jnp.concatenate(rows, axis=0) * scale  # (Hq, BS)
+            s = _scores(q, kh_all, hkv, groups, block_s) * scale
 
             gslot = blk_start(i) + jax.lax.broadcasted_iota(
                 jnp.int32, (hq, block_s), 1
@@ -370,16 +332,7 @@ def _dma_kernel(
             corr = jnp.exp(m_prev - m_new)
             p = jnp.exp(s - m_new)
             l_new = l_prev * corr + jnp.sum(p, 1, keepdims=True)
-            pv = []
-            for h in range(hkv):
-                pv.append(
-                    jax.lax.dot_general(
-                        p[h * groups : (h + 1) * groups], vh_all[:, h, :],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                )
-            acc = acc * corr + jnp.concatenate(pv, axis=0)
+            acc = acc * corr + _weighted_v(p, vh_all, hkv, groups, block_s)
             return m_new, l_new, acc
 
         m0 = jnp.full((hq, 1), INIT_M, jnp.float32)
@@ -399,13 +352,14 @@ def _dma_kernel(
             jnp.zeros((hq_, q.shape[-1]), jnp.float32),
         )
 
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_s", "interpret")
 )
 def decode_attention_dma(
     q,        # (B, Hq, D)
-    k_slabs,  # (L, B, S, Hkv, D)
-    v_slabs,  # (L, B, S, Hkv, D)
+    k_slabs,  # (L, B, Hkv, S, D)
+    v_slabs,  # (L, B, Hkv, S, D)
     k_self,   # (B, Hkv, D)
     v_self,   # (B, Hkv, D)
     layer,    # scalar int32
@@ -417,7 +371,7 @@ def decode_attention_dma(
     interpret: bool = False,
 ):
     b, hq, d = q.shape
-    _, _, s_max, hkv, _ = k_slabs.shape
+    _, _, hkv, s_max, _ = k_slabs.shape
     groups = hq // hkv
     if scale is None:
         scale = d ** -0.5
@@ -440,8 +394,8 @@ def decode_attention_dma(
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda bb, *_: (bb, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, block_s, hkv, d), k_slabs.dtype),
-            pltpu.VMEM((2, block_s, hkv, d), v_slabs.dtype),
+            pltpu.VMEM((2, hkv, block_s, d), k_slabs.dtype),
+            pltpu.VMEM((2, hkv, block_s, d), v_slabs.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )

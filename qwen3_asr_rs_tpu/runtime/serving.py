@@ -98,7 +98,7 @@ class _PrefillJob:
     """In-progress chunked admission: hidden sequence + temp KV cache."""
 
     hidden: jax.Array      # (1, p_pad, H) injected embeddings
-    tmp: KVCache           # (L, 1, p_pad, Hkv, D) per-admission cache
+    tmp: KVCache           # (L, 1, Hkv, p_pad, D) per-admission cache
     prompt_len: int
     bucket: int
     cursor: int = 0
@@ -262,12 +262,12 @@ class ContinuousBatcher:
         if self._commit_jit.get("fn") is None:
 
             def fn(tmp_k, tmp_v, slab_k, slab_v, slot):
-                p_keep = min(tmp_k.shape[2], slab_k.shape[2])
+                p_keep = min(tmp_k.shape[3], slab_k.shape[3])
                 slab_k = jax.lax.dynamic_update_slice(
-                    slab_k, tmp_k[:, :, :p_keep], (0, slot, 0, 0, 0)
+                    slab_k, tmp_k[:, :, :, :p_keep], (0, slot, 0, 0, 0)
                 )
                 slab_v = jax.lax.dynamic_update_slice(
-                    slab_v, tmp_v[:, :, :p_keep], (0, slot, 0, 0, 0)
+                    slab_v, tmp_v[:, :, :, :p_keep], (0, slot, 0, 0, 0)
                 )
                 return slab_k, slab_v
 

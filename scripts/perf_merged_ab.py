@@ -49,8 +49,8 @@ def main():
     def mk_cache(qp):
         k = jnp.asarray(
             rng.standard_normal(
-                (cfg.num_hidden_layers, 1, S_MAX,
-                 cfg.num_key_value_heads, cfg.head_dim)
+                (cfg.num_hidden_layers, 1, cfg.num_key_value_heads,
+                 S_MAX, cfg.head_dim)
             ) * 0.3,
             jnp.bfloat16,
         )

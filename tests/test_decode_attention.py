@@ -11,8 +11,9 @@ from qwen3_asr_rs_tpu.ops.pallas.decode_attention import (
 
 
 def dense_reference(q, k_slab, v_slab, k_self, v_self, start, end):
+    # slabs are (B, Hkv, S, D)
     b, hq, d = q.shape
-    _, s, hkv, _ = k_slab.shape
+    _, hkv, s, _ = k_slab.shape
     g = hq // hkv
     out = np.zeros((b, hq, d), np.float32)
     scale = d ** -0.5
@@ -22,10 +23,10 @@ def dense_reference(q, k_slab, v_slab, k_self, v_self, start, end):
         for h in range(hq):
             kvh = h // g
             keys = np.concatenate(
-                [k_slab[bb, lo:hi, kvh], k_self[bb, kvh][None]], 0
+                [k_slab[bb, kvh, lo:hi], k_self[bb, kvh][None]], 0
             )
             vals = np.concatenate(
-                [v_slab[bb, lo:hi, kvh], v_self[bb, kvh][None]], 0
+                [v_slab[bb, kvh, lo:hi], v_self[bb, kvh][None]], 0
             )
             sc = keys @ q[bb, h] * scale
             p = np.exp(sc - sc.max())
@@ -46,8 +47,8 @@ def dense_reference(q, k_slab, v_slab, k_self, v_self, start, end):
 def test_decode_attention_matches_dense(rng, b, s, hq, hkv, d, starts,
                                         ends, block_s):
     q = (rng.standard_normal((b, hq, d)) * 0.5).astype(np.float32)
-    k_slab = (rng.standard_normal((b, s, hkv, d)) * 0.3).astype(np.float32)
-    v_slab = (rng.standard_normal((b, s, hkv, d)) * 0.3).astype(np.float32)
+    k_slab = (rng.standard_normal((b, hkv, s, d)) * 0.3).astype(np.float32)
+    v_slab = (rng.standard_normal((b, hkv, s, d)) * 0.3).astype(np.float32)
     k_self = (rng.standard_normal((b, hkv, d)) * 0.3).astype(np.float32)
     v_self = (rng.standard_normal((b, hkv, d)) * 0.3).astype(np.float32)
     start = None if starts is None else jnp.asarray(starts, jnp.int32)

@@ -167,7 +167,7 @@ def test_prefill_chunk_matches_full_prefill(rng):
         np.asarray(logits), np.asarray(full_logits), atol=1e-4, rtol=1e-4
     )
     np.testing.assert_allclose(
-        np.asarray(cache.k[:, :, :12]), np.asarray(full_cache.k[:, :, :12]),
+        np.asarray(cache.k[..., :12, :]), np.asarray(full_cache.k[..., :12, :]),
         atol=1e-5, rtol=1e-5,
     )
     # chunked cache then decodes identically
