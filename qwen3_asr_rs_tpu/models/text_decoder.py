@@ -51,10 +51,20 @@ class KVCache:
     batched dots natively, and the (Hkv, S, D) layout measured ~18x
     faster per layer than a per-head python loop over an (S, Hkv, D)
     slab (an in-kernel transpose costs more than it saves).
+
+    With ``kv_dtype='int8'`` (AsrEngine / ASR_KV=int8) k and v are int8
+    with per-(layer, batch, head, slot) symmetric scales in
+    ``k_scale``/``v_scale`` (f32, (L, B, Hkv, S)): HALF the slab HBM
+    stream per decode step and double the slot capacity per byte.
+    Dequantization (``value = int8 * scale``) happens at the attention
+    site — in VMEM inside the kernels, fused into the einsums in the
+    XLA paths.
     """
 
     k: jax.Array
     v: jax.Array
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
 
     @classmethod
     def zeros(
@@ -63,6 +73,7 @@ class KVCache:
         batch: int,
         max_len: int,
         dtype=jnp.bfloat16,
+        quantized: bool = False,
     ) -> "KVCache":
         shape = (
             cfg.num_hidden_layers,
@@ -71,14 +82,46 @@ class KVCache:
             max_len,
             cfg.head_dim,
         )
+        if quantized:
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            )
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def max_len(self) -> int:
         return self.k.shape[3]
 
 
-jax.tree_util.register_dataclass(KVCache, data_fields=["k", "v"], meta_fields=[])
+jax.tree_util.register_dataclass(
+    KVCache, data_fields=["k", "v", "k_scale", "v_scale"], meta_fields=[]
+)
+
+
+def quantize_kv(t):
+    """Symmetric int8 per-(…, slot) quantization over the last (D) axis.
+
+    t: (..., D) float -> (int8 (..., D), scale f32 (...,)).
+    """
+    tf = t.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(tf), axis=-1)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(tf / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q, scale, dtype):
+    """int8 (..., D) * f32 scale (...,) -> dtype (..., D)."""
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 def _interpret_pallas() -> bool:
@@ -151,6 +194,47 @@ def _qkv3(layer: PyTree, x, nq: int, nkv: int, head_dim: int):
     )
 
 
+def _store_kv(kv, k, v, start=0):
+    """Write fresh K/V (B, S, H, D) into a per-layer slab 4-tuple.
+
+    kv = (k_cache, v_cache, k_scale, v_scale) with (B, Hkv, S, D) slabs;
+    scales are None for bf16 caches. Returns the updated 4-tuple.
+    """
+    k_cache, v_cache, ks_c, vs_c = kv
+    kt = jnp.transpose(k, (0, 2, 1, 3))  # (B, H, S, D)
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    if ks_c is not None:
+        kq, ks = quantize_kv(kt)
+        vq, vs = quantize_kv(vt)
+        return (
+            jax.lax.dynamic_update_slice(k_cache, kq, (0, 0, start, 0)),
+            jax.lax.dynamic_update_slice(v_cache, vq, (0, 0, start, 0)),
+            jax.lax.dynamic_update_slice(ks_c, ks, (0, 0, start)),
+            jax.lax.dynamic_update_slice(vs_c, vs, (0, 0, start)),
+        )
+    return (
+        jax.lax.dynamic_update_slice(
+            k_cache, kt.astype(k_cache.dtype), (0, 0, start, 0)
+        ),
+        jax.lax.dynamic_update_slice(
+            v_cache, vt.astype(v_cache.dtype), (0, 0, start, 0)
+        ),
+        None,
+        None,
+    )
+
+
+def _load_kv(kv, dtype):
+    """Dequantized (or cast) slab pair from a per-layer 4-tuple."""
+    k_cache, v_cache, ks_c, vs_c = kv
+    if ks_c is not None:
+        return (
+            dequantize_kv(k_cache, ks_c, dtype),
+            dequantize_kv(v_cache, vs_c, dtype),
+        )
+    return k_cache.astype(dtype), v_cache.astype(dtype)
+
+
 def _gate_up(layer: PyTree, x):
     """silu(gate(x)) * up(x), through merged ``gateup_w`` when present."""
     if "gateup_w_q" in layer or "gateup_w_q4" in layer:
@@ -193,10 +277,9 @@ class TextDecoder:
         x,
         cos,
         sin,
-        k_cache,
-        v_cache,
+        kv,  # per-layer (k_cache, v_cache, k_scale, v_scale)
     ):
-        """One prefill/full-forward layer. Returns (hidden, k_cache, v_cache).
+        """One prefill/full-forward layer. Returns (hidden, kv).
 
         Writes the fresh K/V at slot 0..S and attends causally over the
         fresh keys (decode steps use _decode_layer* instead).
@@ -217,16 +300,7 @@ class TextDecoder:
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
 
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache,
-            jnp.transpose(k, (0, 2, 1, 3)).astype(k_cache.dtype),
-            (0, 0, 0, 0),
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache,
-            jnp.transpose(v, (0, 2, 1, 3)).astype(v_cache.dtype),
-            (0, 0, 0, 0),
-        )
+        kv = _store_kv(kv, k, v)
 
         attn = attention(q, k, v, causal=True)
 
@@ -238,35 +312,50 @@ class TextDecoder:
         residual = x
         h = rms_norm(x, layer["post_ln_w"], cfg.rms_norm_eps)
         h = _linear(layer, "down_w", _gate_up(layer, h))
-        return residual + h, k_cache, v_cache
+        return residual + h, kv
 
     def _run_layers(self, params, hidden, cos, sin, cache):
+        xs = (
+            params["layers"], cache.k, cache.v,
+            cache.k_scale, cache.v_scale,
+        )
         if self.unroll_layers:
             # Unrolled python loop: each layer's weights are static slices
             # of the stacked arrays, which XLA fuses into the consumers
             # with no copy. Slightly better weight streaming at ~5x the
             # compile time; opt-in.
             num_layers = cache.k.shape[0]
-            k_all, v_all = cache.k, cache.v
+            out = cache
             h = hidden
             for i in range(num_layers):
                 layer = {k: v[i] for k, v in params["layers"].items()}
-                h, k_c, v_c = self._layer(
-                    layer, h, cos, sin, k_all[i], v_all[i]
+                kv_i = (
+                    out.k[i], out.v[i],
+                    None if out.k_scale is None else out.k_scale[i],
+                    None if out.v_scale is None else out.v_scale[i],
                 )
-                k_all = k_all.at[i].set(k_c)
-                v_all = v_all.at[i].set(v_c)
-            return h, KVCache(k=k_all, v=v_all)
+                h, kv_i = self._layer(layer, h, cos, sin, kv_i)
+                out = KVCache(
+                    k=out.k.at[i].set(kv_i[0]),
+                    v=out.v.at[i].set(kv_i[1]),
+                    k_scale=(
+                        None if kv_i[2] is None
+                        else out.k_scale.at[i].set(kv_i[2])
+                    ),
+                    v_scale=(
+                        None if kv_i[3] is None
+                        else out.v_scale.at[i].set(kv_i[3])
+                    ),
+                )
+            return h, out
 
-        def body(h, xs):
-            layer, k_c, v_c = xs
-            h, k_c, v_c = self._layer(layer, h, cos, sin, k_c, v_c)
-            return h, (k_c, v_c)
+        def body(h, xs_i):
+            layer, k_c, v_c, ks_c, vs_c = xs_i
+            h, kv = self._layer(layer, h, cos, sin, (k_c, v_c, ks_c, vs_c))
+            return h, kv
 
-        hidden, (k, v) = jax.lax.scan(
-            body, hidden, (params["layers"], cache.k, cache.v)
-        )
-        return hidden, KVCache(k=k, v=v)
+        hidden, (k, v, ks, vs) = jax.lax.scan(body, hidden, xs)
+        return hidden, KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
 
     def logits(self, params: PyTree, hidden):
         """Final norm + lm head, computed in f32 (argmax parity)."""
@@ -350,19 +439,24 @@ class TextDecoder:
         cos, sin = self.rotary.lookup(positions)
 
         def body(h, xs):
-            layer, k_c, v_c = xs
-            h, k_c, v_c = self._chunk_layer(
-                layer, h, cos, sin, k_c, v_c, start
+            layer, k_c, v_c, ks_c, vs_c = xs
+            h, kv = self._chunk_layer(
+                layer, h, cos, sin, (k_c, v_c, ks_c, vs_c), start
             )
-            return h, (k_c, v_c)
+            return h, kv
 
-        hidden, (k, v) = jax.lax.scan(
-            body, hidden, (params["layers"], cache.k, cache.v)
+        hidden, (k, v, ks, vs) = jax.lax.scan(
+            body, hidden,
+            (params["layers"], cache.k, cache.v,
+             cache.k_scale, cache.v_scale),
         )
         last = jax.lax.dynamic_slice_in_dim(hidden, true_len - 1, 1, axis=1)
-        return self.logits(params, last)[:, 0], KVCache(k=k, v=v)
+        return (
+            self.logits(params, last)[:, 0],
+            KVCache(k=k, v=v, k_scale=ks, v_scale=vs),
+        )
 
-    def _chunk_layer(self, layer, x, cos, sin, k_cache, v_cache, start):
+    def _chunk_layer(self, layer, x, cos, sin, kv, start):
         """One layer of chunked prefill: write-at-start + history attention."""
         cfg = self.cfg
         b, p_len, _ = x.shape
@@ -383,22 +477,14 @@ class TextDecoder:
         # write the fresh block FIRST, then attend over the slab: key slot
         # j is attendable by chunk query i iff j <= start + i, which covers
         # both the history [0, start) and the fresh block causally.
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache,
-            jnp.transpose(k, (0, 2, 1, 3)).astype(k_cache.dtype),
-            (0, 0, start, 0),
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache,
-            jnp.transpose(v, (0, 2, 1, 3)).astype(v_cache.dtype),
-            (0, 0, start, 0),
-        )
+        kv = _store_kv(kv, k, v, start)
+        k_use, v_use = _load_kv(kv, q.dtype)
 
-        s_max = k_cache.shape[2]
+        s_max = k_use.shape[2]
         scale = hd ** -0.5
         qg = q.reshape(b, p_len, nkv, groups, hd)
         sc = jnp.einsum(
-            "bqhgd,bhkd->bhgqk", qg, k_cache.astype(q.dtype),
+            "bqhgd,bhkd->bhgqk", qg, k_use,
             preferred_element_type=jnp.float32,
         ) * scale
         ok = (
@@ -410,8 +496,8 @@ class TextDecoder:
         p = jnp.exp(sc - m)
         p = p / jnp.sum(p, -1, keepdims=True)
         out = jnp.einsum(
-            "bhgqk,bhkd->bqhgd", p.astype(v_cache.dtype),
-            v_cache,
+            "bhgqk,bhkd->bqhgd", p.astype(v_use.dtype),
+            v_use,
             preferred_element_type=jnp.float32,
         )
         out = out.reshape(b, p_len, nq * hd).astype(x.dtype)
@@ -419,7 +505,7 @@ class TextDecoder:
         residual = x
         h = rms_norm(x, layer["post_ln_w"], cfg.rms_norm_eps)
         h = _linear(layer, "down_w", _gate_up(layer, h))
-        return residual + h, k_cache, v_cache
+        return residual + h, kv
 
     def decode_step(
         self,
@@ -456,34 +542,60 @@ class TextDecoder:
                 cache.k, cache.v, None, pos,
                 eps=self.cfg.rms_norm_eps,
                 interpret=_interpret_pallas(),
+                k_scales=cache.k_scale, v_scales=cache.v_scale,
             )
             hidden = h2[:, None, :]
         else:
             hidden, ks, vs = self._decode_scan(
                 params, hidden, cos, sin, cache, None, kv_valid
             )
-        # ks/vs: (L, B, Hkv, D) — one slab write for all layers
-        ks = ks.astype(cache.k.dtype)
-        vs = vs.astype(cache.v.dtype)
+        cache = self._write_token_kv(cache, ks, vs, pos)
+        return self.logits(params, hidden)[:, 0], cache
+
+    def _write_token_kv(self, cache: KVCache, ks, vs, pos) -> KVCache:
+        """Write one token's fresh K/V (L, B, Hkv, D) for all layers.
+
+        ``pos`` scalar: one dynamic_update_slice at a shared slot.
+        ``pos`` (B,): per-example scatter. int8 caches quantize here
+        (per layer/example/head symmetric scale over D).
+        """
+        if cache.quantized:
+            kq, kscale = quantize_kv(ks)
+            vq, vscale = quantize_kv(vs)
+        else:
+            kq, vq = ks.astype(cache.k.dtype), vs.astype(cache.v.dtype)
+            kscale = vscale = None
         if jnp.ndim(pos) == 0:
             k_new = jax.lax.dynamic_update_slice(
-                cache.k, ks[:, :, :, None], (0, 0, 0, pos, 0)
+                cache.k, kq[:, :, :, None], (0, 0, 0, pos, 0)
             )
             v_new = jax.lax.dynamic_update_slice(
-                cache.v, vs[:, :, :, None], (0, 0, 0, pos, 0)
+                cache.v, vq[:, :, :, None], (0, 0, 0, pos, 0)
             )
-        else:
-            barange = jnp.arange(b)
-            # advanced indices split by a slice put the broadcast (B,)
-            # dim first: indexed subspace is (B, L, Hkv, D)
-            k_new = cache.k.at[:, barange, :, pos].set(
-                jnp.swapaxes(ks, 0, 1)
+            ks_new = vs_new = None
+            if cache.quantized:
+                ks_new = jax.lax.dynamic_update_slice(
+                    cache.k_scale, kscale[:, :, :, None], (0, 0, 0, pos)
+                )
+                vs_new = jax.lax.dynamic_update_slice(
+                    cache.v_scale, vscale[:, :, :, None], (0, 0, 0, pos)
+                )
+            return KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)
+        b = ks.shape[1]
+        barange = jnp.arange(b)
+        # advanced indices split by a slice put the broadcast (B,) dim
+        # first: indexed subspace is (B, L, Hkv[, D])
+        k_new = cache.k.at[:, barange, :, pos].set(jnp.swapaxes(kq, 0, 1))
+        v_new = cache.v.at[:, barange, :, pos].set(jnp.swapaxes(vq, 0, 1))
+        ks_new = vs_new = None
+        if cache.quantized:
+            ks_new = cache.k_scale.at[:, barange, :, pos].set(
+                jnp.swapaxes(kscale, 0, 1)
             )
-            v_new = cache.v.at[:, barange, :, pos].set(
-                jnp.swapaxes(vs, 0, 1)
+            vs_new = cache.v_scale.at[:, barange, :, pos].set(
+                jnp.swapaxes(vscale, 0, 1)
             )
-        cache = KVCache(k=k_new, v=v_new)
-        return self.logits(params, hidden)[:, 0], cache
+        return KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)
 
     def _fused_step_vmem_ok(self, params, b: int, cache: KVCache,
                             fold_lm: bool = False) -> bool:
@@ -522,6 +634,11 @@ class TextDecoder:
         attn_bufs = (
             2 * 2 * b * block_s * cfg.num_key_value_heads * d * slab_bytes
         )
+        if cache.quantized:
+            # double-buffered per-layer (1, B, Hkv, S) f32 scale blocks
+            attn_bufs += (
+                2 * 2 * b * cfg.num_key_value_heads * cache.max_len * 4
+            )
         kv_out_bytes = 2 * b * nkv_d * slab_bytes
         per_layer = w_elems * wbytes + kv_out_bytes
         lm_bufs = 0
@@ -621,6 +738,7 @@ class TextDecoder:
                 final_ln_w=params["final_ln_w"],
                 lm_head=params.get("lm_head", params.get("lm_head_q")),
                 lm_scales=params.get("lm_head_s"),
+                k_scales=cache.k_scale, v_scales=cache.v_scale,
             )
             cache = self._write_fresh(cache, ks, vs, pos)
             return tok, cache
@@ -657,6 +775,7 @@ class TextDecoder:
                 final_ln_w=params["final_ln_w"],
                 lm_head=params.get("lm_head", params.get("lm_head_q")),
                 lm_scales=params.get("lm_head_s"),
+                k_scales=cache.k_scale, v_scales=cache.v_scale,
             )
             cache = self._write_fresh(cache, ks, vs, slot)
             return tok, cache
@@ -667,15 +786,7 @@ class TextDecoder:
 
     def _write_fresh(self, cache: KVCache, ks, vs, slot) -> KVCache:
         """One slab write of all layers' fresh K/V at a shared slot."""
-        k_new = jax.lax.dynamic_update_slice(
-            cache.k, ks[:, :, :, None].astype(cache.k.dtype),
-            (0, 0, 0, slot, 0),
-        )
-        v_new = jax.lax.dynamic_update_slice(
-            cache.v, vs[:, :, :, None].astype(cache.v.dtype),
-            (0, 0, 0, slot, 0),
-        )
-        return KVCache(k=k_new, v=v_new)
+        return self._write_token_kv(cache, ks, vs, slot)
 
     # Per-pallas_call launch overhead measured through the tunneled v5e
     # (NOTES.md); untunneled hardware is substantially cheaper. Override
@@ -749,6 +860,10 @@ class TextDecoder:
         explicit self-term).
         """
         impl = self._decode_attn_impl(cache.max_len)
+        if cache.quantized:
+            # the standalone decode-attention kernel has no int8-KV
+            # path (the megakernel does); dense XLA dequant is exact
+            impl = "dense"
         num_layers = cache.k.shape[0]
         if impl == "kernel":
             from ..ops.pallas.decode_attention import decode_attention_dma
@@ -775,6 +890,21 @@ class TextDecoder:
                 v_lay = jax.lax.dynamic_index_in_dim(
                     cache.v, l_idx, keepdims=False
                 )
+                if cache.quantized:
+                    k_lay = dequantize_kv(
+                        k_lay,
+                        jax.lax.dynamic_index_in_dim(
+                            cache.k_scale, l_idx, keepdims=False
+                        ),
+                        h.dtype,
+                    )
+                    v_lay = dequantize_kv(
+                        v_lay,
+                        jax.lax.dynamic_index_in_dim(
+                            cache.v_scale, l_idx, keepdims=False
+                        ),
+                        h.dtype,
+                    )
                 return self._decode_layer_masked(
                     layer, h, cos, sin, k_lay, v_lay, live
                 )
@@ -855,22 +985,23 @@ class TextDecoder:
         cos, sin = self.rotary.lookup_batch(positions)
 
         def body(h, xs):
-            layer, k_c, v_c = xs
-            h, k_c, v_c = self._prefill_layer_aligned(
-                layer, h, cos, sin, k_c, v_c, kv_start
+            layer, k_c, v_c, ks_c, vs_c = xs
+            h, kv = self._prefill_layer_aligned(
+                layer, h, cos, sin, (k_c, v_c, ks_c, vs_c), kv_start
             )
-            return h, (k_c, v_c)
+            return h, kv
 
-        hidden, (k, v) = jax.lax.scan(
-            body, hidden, (params["layers"], cache.k, cache.v)
+        hidden, (k, v, ks, vs) = jax.lax.scan(
+            body, hidden,
+            (params["layers"], cache.k, cache.v,
+             cache.k_scale, cache.v_scale),
         )
         return (
             self.logits(params, hidden[:, -1:])[:, 0],
-            KVCache(k=k, v=v),
+            KVCache(k=k, v=v, k_scale=ks, v_scale=vs),
         )
 
-    def _prefill_layer_aligned(self, layer, x, cos, sin, k_cache, v_cache,
-                               kv_start):
+    def _prefill_layer_aligned(self, layer, x, cos, sin, kv, kv_start):
         cfg = self.cfg
         residual = x
         h = rms_norm(x, layer["input_ln_w"], cfg.rms_norm_eps)
@@ -882,16 +1013,7 @@ class TextDecoder:
         k = rms_norm(k, layer["k_norm_w"], cfg.rms_norm_eps)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache,
-            jnp.transpose(k, (0, 2, 1, 3)).astype(k_cache.dtype),
-            (0, 0, 0, 0),
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache,
-            jnp.transpose(v, (0, 2, 1, 3)).astype(v_cache.dtype),
-            (0, 0, 0, 0),
-        )
+        kv = _store_kv(kv, k, v)
         attn = attention(q, k, v, causal=True, kv_start=kv_start)
         b, s, _, _ = attn.shape
         attn = attn.reshape(b, s, cfg.num_attention_heads * cfg.head_dim)
@@ -899,7 +1021,7 @@ class TextDecoder:
         residual = x
         h = rms_norm(x, layer["post_ln_w"], cfg.rms_norm_eps)
         h = _linear(layer, "down_w", _gate_up(layer, h))
-        return residual + h, k_cache, v_cache
+        return residual + h, kv
 
     def decode_step_aligned(
         self,
@@ -925,6 +1047,7 @@ class TextDecoder:
                 cache.k, cache.v, kv_start.astype(jnp.int32), b_arr,
                 eps=self.cfg.rms_norm_eps,
                 interpret=_interpret_pallas(),
+                k_scales=cache.k_scale, v_scales=cache.v_scale,
             )
             hidden = h2[:, None, :]
         else:
@@ -932,18 +1055,8 @@ class TextDecoder:
                 params, hidden, cos, sin, cache,
                 kv_start.astype(jnp.int32), b_arr,
             )
-        k_new = jax.lax.dynamic_update_slice(
-            cache.k, ks[:, :, :, None].astype(cache.k.dtype),
-            (0, 0, 0, slot, 0),
-        )
-        v_new = jax.lax.dynamic_update_slice(
-            cache.v, vs[:, :, :, None].astype(cache.v.dtype),
-            (0, 0, 0, slot, 0),
-        )
-        return (
-            self.logits(params, hidden)[:, 0],
-            KVCache(k=k_new, v=v_new),
-        )
+        cache = self._write_token_kv(cache, ks, vs, slot)
+        return self.logits(params, hidden)[:, 0], cache
 
     def _decode_layer_masked(self, layer, h, cos, sin, k_lay, v_lay, live):
         """_decode_layer with an arbitrary (B, S) boolean slab mask."""

@@ -138,18 +138,20 @@ def _kernel(
     resident: bool,
     int4: bool,
     merged: bool,
+    kv_quant: bool,
 ):
     if merged:
         (qkv_w_ref, o_w_ref, gateup_w_ref, down_w_ref,
-         scales_ref, k_hbm, v_hbm, lm_w_ref, lm_s_ref,
-         h_out_ref, tok_out_ref, k_out_ref, v_out_ref,
-         h_scr, k_buf, v_buf, sems, best_val, best_idx) = refs
+         scales_ref, k_hbm, v_hbm, *rest) = refs
     else:
         (q_w_ref, k_w_ref, v_w_ref, o_w_ref, gate_w_ref, up_w_ref,
          down_w_ref,
-         scales_ref, k_hbm, v_hbm, lm_w_ref, lm_s_ref,
-         h_out_ref, tok_out_ref, k_out_ref, v_out_ref,
-         h_scr, k_buf, v_buf, sems, best_val, best_idx) = refs
+         scales_ref, k_hbm, v_hbm, *rest) = refs
+    if kv_quant:
+        ks_ref, vs_ref, *rest = rest  # (1, B, Hkv, S) f32 slab scales
+    (lm_w_ref, lm_s_ref,
+     h_out_ref, tok_out_ref, k_out_ref, v_out_ref,
+     h_scr, k_buf, v_buf, sems, best_val, best_idx) = rest
 
     l = pl.program_id(0)
     nl = num_layers
@@ -298,7 +300,15 @@ def _kernel(
                 kb = k[bb * hkv : (bb + 1) * hkv]        # (Hkv, D)
                 vb = v[bb * hkv : (bb + 1) * hkv]
                 qg = qb.reshape(hkv, groups, d)
-                kb_slab = k_hbm[0, bb].astype(cdt)       # (Hkv, S, D)
+                if kv_quant:
+                    # int8 slab: dequantize in VMEM (round to cdt like
+                    # the scan path's dequantize_kv)
+                    kb_slab = (
+                        k_hbm[0, bb].astype(jnp.float32)
+                        * ks_ref[0, bb][:, :, None]
+                    ).astype(cdt)
+                else:
+                    kb_slab = k_hbm[0, bb].astype(cdt)   # (Hkv, S, D)
                 s = jax.lax.dot_general(
                     qg, kb_slab, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
@@ -325,7 +335,13 @@ def _kernel(
                 pn = (p / denom).astype(cdt)
                 pn_self = p_self / denom
 
-                vb_slab = v_hbm[0, bb].astype(cdt)       # (Hkv, S, D)
+                if kv_quant:
+                    vb_slab = (
+                        v_hbm[0, bb].astype(jnp.float32)
+                        * vs_ref[0, bb][:, :, None]
+                    ).astype(cdt)
+                else:
+                    vb_slab = v_hbm[0, bb].astype(cdt)   # (Hkv, S, D)
                 pv = jax.lax.dot_general(
                     pn.reshape(hkv, groups, s_max), vb_slab,
                     (((2,), (1,)), ((0,), (0,))),
@@ -371,7 +387,14 @@ def _kernel(
             s_rows = []
             for bb in range(b):
                 qg = qf[bb * hq : (bb + 1) * hq].reshape(hkv, groups, d)
-                kh = k_buf[slot, bb].astype(jnp.float32)  # (Hkv, BS, D)
+                if kv_quant:
+                    ksb = ks_ref[0, bb, :, pl.ds(blk_start(i), block_s)]
+                    kh = (
+                        k_buf[slot, bb].astype(jnp.float32)
+                        * ksb[:, :, None]
+                    ).astype(cdt).astype(jnp.float32)
+                else:
+                    kh = k_buf[slot, bb].astype(jnp.float32)  # (Hkv,BS,D)
                 s_bb = jax.lax.dot_general(
                     qg, kh, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
@@ -392,7 +415,14 @@ def _kernel(
                 ph = p[bb * hq : (bb + 1) * hq].reshape(
                     hkv, groups, block_s
                 )
-                vh = v_buf[slot, bb].astype(jnp.float32)  # (Hkv, BS, D)
+                if kv_quant:
+                    vsb = vs_ref[0, bb, :, pl.ds(blk_start(i), block_s)]
+                    vh = (
+                        v_buf[slot, bb].astype(jnp.float32)
+                        * vsb[:, :, None]
+                    ).astype(cdt).astype(jnp.float32)
+                else:
+                    vh = v_buf[slot, bb].astype(jnp.float32)  # (Hkv,BS,D)
                 pv_rows.append(
                     jax.lax.dot_general(
                         ph, vh, (((2,), (1,)), ((0,), (0,))),
@@ -501,6 +531,8 @@ def decode_layers_fused(
     final_ln_w=None,   # (H,) — required when fold_lm
     lm_head=None,      # bf16 (V, H) or int8 (H, V) with lm_scales (V,)
     lm_scales=None,
+    k_scales=None,     # (L, B, Hkv, S) f32 — int8-KV slab scales
+    v_scales=None,
 ):
     """Run all decoder layers for one token per example.
 
@@ -512,6 +544,7 @@ def decode_layers_fused(
     """
     nl, b, hkv, s_max, d = k_slabs.shape
     h_dim = x.shape[-1]
+    kv_quant = k_scales is not None
     merged = "qkv_w_q" in layers or "qkv_w_q4" in layers
     quantized = "q_w_q" in layers or "qkv_w_q" in layers
     int4 = "q_w_q4" in layers or "qkv_w_q4" in layers
@@ -592,6 +625,8 @@ def decode_layers_fused(
     slab_block_bytes = (
         2 * 2 * b * s_max * hkv * d * jnp.dtype(k_slabs.dtype).itemsize
     )
+    if kv_quant:
+        slab_block_bytes += 2 * 2 * b * hkv * s_max * 4  # f32 scales
     lm_bytes = (
         2 * (h_dim * LM_TILE * jnp.dtype(lm_w.dtype).itemsize
              + 8 * LM_TILE * 4)
@@ -620,6 +655,9 @@ def decode_layers_fused(
 
     def lay_slab(l, *_):
         return (jnp.minimum(l, nl - 1), 0, 0, 0, 0)
+
+    def lay_kvs(l, *_):
+        return (jnp.minimum(l, nl - 1), 0, 0, 0)
 
     def lm_idx(l, *_):
         return (0, jnp.maximum(l - nl, 0))
@@ -676,6 +714,13 @@ def decode_layers_fused(
             *weight_specs,
             pl.BlockSpec((1, 8, max_n), lay3),         # packed scales
             *slab_specs,                               # k/v slab
+            *(
+                [
+                    pl.BlockSpec((1, b, hkv, s_max), lay_kvs),
+                    pl.BlockSpec((1, b, hkv, s_max), lay_kvs),
+                ]
+                if kv_quant else []
+            ),                                         # int8-KV scales
             pl.BlockSpec((h_dim, lm_w.shape[1] if not fold_lm else LM_TILE),
                          lm_idx),                      # lm tile
             pl.BlockSpec((8, lm_s.shape[1] if not fold_lm else LM_TILE),
@@ -711,6 +756,7 @@ def decode_layers_fused(
         resident=resident,
         int4=int4,
         merged=merged,
+        kv_quant=kv_quant,
     )
 
     h_out, tok_out, ks, vs = pl.pallas_call(
@@ -722,8 +768,14 @@ def decode_layers_fused(
         out_shape=(
             jax.ShapeDtypeStruct((b, h_dim), x.dtype),
             jax.ShapeDtypeStruct((b, 128), jnp.int32),
-            jax.ShapeDtypeStruct((nl, b, hkv, d), k_slabs.dtype),
-            jax.ShapeDtypeStruct((nl, b, hkv, d), v_slabs.dtype),
+            # fresh K/V come out UNQUANTIZED; the caller quantizes at
+            # the slab write (int8-KV mode)
+            jax.ShapeDtypeStruct(
+                (nl, b, hkv, d), x.dtype if kv_quant else k_slabs.dtype
+            ),
+            jax.ShapeDtypeStruct(
+                (nl, b, hkv, d), x.dtype if kv_quant else v_slabs.dtype
+            ),
         ),
         interpret=interpret,
     )(
@@ -732,6 +784,7 @@ def decode_layers_fused(
         *(weights[n] for n in names),
         scales_packed,
         k_slabs, v_slabs,
+        *([k_scales, v_scales] if kv_quant else []),
         lm_w, lm_s,
     )
     if fold_lm:

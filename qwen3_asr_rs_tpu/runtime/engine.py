@@ -18,6 +18,7 @@ traced scalars.
 
 from __future__ import annotations
 
+import os
 import dataclasses
 import functools
 import logging
@@ -78,6 +79,7 @@ class AsrEngine:
         params: Optional[tuple] = None,
         tokenizer: Optional[AsrTokenizer] = None,
         quantize: Optional[str] = None,
+        kv_dtype: Optional[str] = None,
         unroll_decode: bool = False,
         mesh=None,
     ):
@@ -118,6 +120,24 @@ class AsrEngine:
             )
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
+
+        # int8 KV slab (opt-in): HALF the per-step slab HBM stream and
+        # double the slot capacity; per-(layer,example,head,slot)
+        # symmetric scales, dequantized at the attention site. The
+        # single-utterance/batch graphs use it; serving and streaming
+        # manage their own (bf16) caches.
+        if kv_dtype is None:
+            kv_dtype = os.environ.get("ASR_KV")
+        if kv_dtype in (None, "bf16"):
+            self.kv_quant = False
+        elif kv_dtype == "int8":
+            if mesh is not None:
+                raise ValueError(
+                    "kv_dtype='int8' is not supported under a mesh"
+                )
+            self.kv_quant = True
+        else:
+            raise ValueError(f"unknown kv_dtype {kv_dtype!r}")
 
         # Multi-chip: shard the parameters over a (dp, tp) mesh; GSPMD
         # propagates the shardings through the fused graph and inserts
@@ -323,7 +343,8 @@ class AsrEngine:
             return body
 
         cache = KVCache.zeros(
-            cfg.text, b, p + seg_caps[0] + 1, dtype=self.dtype
+            cfg.text, b, p + seg_caps[0] + 1, dtype=self.dtype,
+            quantized=self.kv_quant,
         )
         if aligned:
             logits, cache = self.decoder.prefill_aligned(
@@ -343,7 +364,8 @@ class AsrEngine:
             cache = state[0]
             if cache.max_len < p + cap + 1:  # grow into the next slab
                 bigger = KVCache.zeros(
-                    cfg.text, b, p + cap + 1, dtype=self.dtype
+                    cfg.text, b, p + cap + 1, dtype=self.dtype,
+                    quantized=self.kv_quant,
                 )
                 bigger = KVCache(
                     k=jax.lax.dynamic_update_slice(
@@ -351,6 +373,18 @@ class AsrEngine:
                     ),
                     v=jax.lax.dynamic_update_slice(
                         bigger.v, cache.v, (0, 0, 0, 0, 0)
+                    ),
+                    k_scale=(
+                        None if not self.kv_quant
+                        else jax.lax.dynamic_update_slice(
+                            bigger.k_scale, cache.k_scale, (0, 0, 0, 0)
+                        )
+                    ),
+                    v_scale=(
+                        None if not self.kv_quant
+                        else jax.lax.dynamic_update_slice(
+                            bigger.v_scale, cache.v_scale, (0, 0, 0, 0)
+                        )
                     ),
                 )
                 state = (bigger,) + state[1:]

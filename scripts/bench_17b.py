@@ -32,8 +32,8 @@ def main():
     params = (enc_params, dec_params)
 
     rows = {}
-    for quant in (None, "int8"):
-        tag = "int8" if quant else "bf16"
+    for quant in (None, "int8", "int4"):
+        tag = quant or "bf16"
         print(f"--- 1.7B {tag} 30 s / 128 tok", file=sys.stderr)
         eng = _mk_engine(config, params, quant, max_new=128, bucket=30)
         t30 = _bench_once(eng, config, 30.0, 30)

@@ -9,7 +9,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main(batch=8, seconds=30, tokens=128):
+def main(batch=8, seconds=30, tokens=128, quant=None):
     import jax
     import jax.numpy as jnp
 
@@ -33,6 +33,7 @@ def main(batch=8, seconds=30, tokens=128):
         model_dir=None, dtype=jnp.bfloat16, max_new_tokens=tokens,
         chunk_buckets=(seconds,), config=config,
         params=(enc_params, dec_params), tokenizer=_Tok(),
+        quantize=quant,
     )
     rng = np.random.default_rng(0)
     clips = [
@@ -49,7 +50,7 @@ def main(batch=8, seconds=30, tokens=128):
     med = sorted(times)[len(times) // 2]
     xrt = batch * seconds / med
     print(
-        f"batch={batch}: median {med*1000:.1f} ms -> {xrt:.1f}x RT per chip "
+        f"batch={batch} quant={quant}: median {med*1000:.1f} ms -> {xrt:.1f}x RT per chip "
         f"({[round(t*1000,1) for t in times]})"
     )
 
@@ -58,8 +59,9 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--quant", default=None)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seconds", type=int, default=30)
     ap.add_argument("--tokens", type=int, default=128)
     a = ap.parse_args()
-    main(a.batch, a.seconds, a.tokens)
+    main(a.batch, a.seconds, a.tokens, a.quant)

@@ -46,7 +46,9 @@ def main():
     rtt = sorted(rtts)[len(rtts) // 2]
     print(f"no-op dispatch+fetch (RTT): {rtt*1000:.1f} ms", file=sys.stderr)
 
-    def mk_cache(qp):
+    def mk_cache(qp, kv8=False):
+        from qwen3_asr_rs_tpu.models.text_decoder import quantize_kv
+
         k = jnp.asarray(
             rng.standard_normal(
                 (cfg.num_hidden_layers, 1, cfg.num_key_value_heads,
@@ -57,6 +59,10 @@ def main():
         v = jnp.asarray(
             rng.standard_normal(k.shape) * 0.3, jnp.bfloat16
         )
+        if kv8:
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            return KVCache(k=kq, v=vq, k_scale=ks, v_scale=vs)
         return KVCache(k=k, v=v)
 
     @jax.jit
@@ -77,16 +83,18 @@ def main():
         return tok
 
     configs = [
-        (8, False, 8, "int8 sep    lm8"),
-        (8, True, 8, "int8 merged lm8"),
-        (4, False, 8, "int4 sep    lm8"),
-        (4, True, 8, "int4 merged lm8"),
-        (4, True, 4, "int4 merged lm4"),
+        (8, False, 8, False, "int8 sep    lm8"),
+        (8, True, 8, False, "int8 merged lm8"),
+        (8, True, 8, True, "int8 merged lm8 kv8"),
+        (4, False, 8, False, "int4 sep    lm8"),
+        (4, True, 8, False, "int4 merged lm8"),
+        (4, True, 4, False, "int4 merged lm4"),
+        (4, True, 4, True, "int4 merged lm4 kv8"),
     ]
-    for bits, merge, lm_bits, tag in configs:
+    for bits, merge, lm_bits, kv8, tag in configs:
         os.environ["ASR_LM_BITS"] = str(lm_bits)
         qp = quantize_decoder_params(params, bits=bits, merge=merge)
-        cache = mk_cache(qp)
+        cache = mk_cache(qp, kv8)
         tok = jnp.asarray([11], jnp.int32)
         np.asarray(loop(qp, cache, tok))  # compile + warm
         ts = []
