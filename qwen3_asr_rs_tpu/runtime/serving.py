@@ -105,6 +105,26 @@ class _PrefillJob:
     tok0: int = 0
 
 
+@dataclasses.dataclass
+class _EncodeJob:
+    """In-progress segmented ENCODE admission (before _PrefillJob).
+
+    Long clips run the audio encoder one window-group per scheduler
+    step (windows are independent by construction — block-diagonal
+    attention), so even a 2-minute clip's encoder pass never stalls
+    active decode slots for more than one group.
+    """
+
+    mel: jax.Array         # (n_mel, n_groups * group_frames), zero-padded
+    embeds: jax.Array      # (n_chunks_padded * tpc, D) accumulator
+    n_true: int
+    ids: np.ndarray
+    prompt_len: int
+    bucket: int
+    cursor: int = 0        # next window group
+    n_groups: int = 0
+
+
 class ContinuousBatcher:
     """Slot-based continuous batching over a shared KV slab."""
 
@@ -116,6 +136,7 @@ class ContinuousBatcher:
         max_new_tokens: Optional[int] = None,
         max_chunks: Optional[int] = None,
         prefill_chunk_tokens: Optional[int] = 256,
+        encode_window_groups: Optional[int] = 2,
     ):
         self.engine = engine
         self.n_slots = n_slots
@@ -123,6 +144,9 @@ class ContinuousBatcher:
         # Prompts longer than this are prefilled in chunks interleaved
         # with decode segments (None = always one monolithic dispatch).
         self.prefill_chunk_tokens = prefill_chunk_tokens
+        # Clips spanning more than this many encoder windows are encoded
+        # one group of this many windows per step (None = inline encode).
+        self.encode_window_groups = encode_window_groups
         if max_new_tokens is None:
             max_new_tokens = min(engine.max_new_tokens, 512)
         self.max_new = max_new_tokens
@@ -145,11 +169,20 @@ class ContinuousBatcher:
 
         self.queue: "queue.Queue[Request]" = queue.Queue()
         self.prefilling: dict[int, _PrefillJob] = {}
+        self.encoding: dict[int, _EncodeJob] = {}
         self._prefill_jit = {}
         self._encode_jit = {}
+        self._mel_jit = {}
+        self._egroup_jit = {}
+        self._inject_jit = {}
         self._chunk_jit = {}
         self._commit_jit = {}
         self._segment = None
+
+    def _group_chunks(self, bucket: int) -> int:
+        """Chunks per encode group (whole windows only)."""
+        cpw = min(self.engine.config.audio.chunks_per_window, bucket)
+        return cpw * (self.encode_window_groups or 1)
 
     # -------------------------------------------------------------- #
     # device graphs
@@ -232,6 +265,89 @@ class ContinuousBatcher:
 
         self._encode_jit[num_chunks] = jax.jit(fn)
         return self._encode_jit[num_chunks]
+
+    def _mel_graph(self, bucket: int):
+        """Segmented-encode stage 0: wave -> mel, zero-padded so encode
+        groups of whole windows tile the frame axis exactly."""
+        if bucket in self._mel_jit:
+            return self._mel_jit[bucket]
+        engine = self.engine
+        cf = engine.config.audio.chunk_frames
+        gchunks = self._group_chunks(bucket)
+        n_groups = -(-bucket // gchunks)
+        pad = (n_groups * gchunks - bucket) * cf
+
+        def fn(wave, n_true):
+            mel = log_mel_from_padded(
+                wave, n_true, engine.frontend.mel_filters
+            )
+            return jnp.pad(mel, ((0, 0), (0, pad)))
+
+        self._mel_jit[bucket] = jax.jit(fn)
+        return self._mel_jit[bucket]
+
+    def _encode_group_graph(self, bucket: int):
+        """Segmented-encode stage 1: ONE window group through the audio
+        encoder, written at its offset of the embeds accumulator.
+
+        Exactly equals the full-clip encode restricted to those windows:
+        windows attend block-diagonally (independent), the conv stem and
+        positional embedding are chunk-local, and valid-token counting
+        is per chunk.
+        """
+        if bucket in self._egroup_jit:
+            return self._egroup_jit[bucket]
+        engine = self.engine
+        cfg = engine.config.audio
+        gchunks = self._group_chunks(bucket)
+        gframes = gchunks * cfg.chunk_frames
+        tpc = cfg.tokens_per_chunk
+
+        def fn(enc_params, mel, n_true, g, buf):
+            mel_g = jax.lax.dynamic_slice(
+                mel, (0, g * gframes), (mel.shape[0], gframes)
+            )
+            n_true_g = jnp.clip(n_true - g * gframes, 0, gframes)
+            embeds, _ = engine.encoder(enc_params, mel_g, n_true_g)
+            return jax.lax.dynamic_update_slice(
+                buf, embeds.astype(buf.dtype), (g * gchunks * tpc, 0)
+            )
+
+        self._egroup_jit[bucket] = jax.jit(fn, donate_argnums=(4,))
+        return self._egroup_jit[bucket]
+
+    def _inject_graph(self, bucket: int):
+        """Segmented-encode stage 2: audio embeds + prompt ids -> padded
+        hidden (the injection half of _inject)."""
+        if bucket in self._inject_jit:
+            return self._inject_jit[bucket]
+        engine = self.engine
+        c = self.prefill_chunk_tokens
+        p_bucket = engine._prompt_bucket(bucket)
+        p_pad = -(-p_bucket // c) * c
+
+        def fn(dec_params, embeds, n_true, token_ids):
+            n_audio = engine.encoder.valid_tokens(n_true)
+            tok_embeds = engine.decoder.embed(dec_params, token_ids[None])
+            p = token_ids.shape[0]
+            slots_ax = jnp.arange(p)
+            shifted = jnp.zeros(
+                (1, p, tok_embeds.shape[-1]), tok_embeds.dtype
+            )
+            n_copy = min(embeds.shape[0], p - AUDIO_OFFSET)
+            shifted = jax.lax.dynamic_update_slice(
+                shifted,
+                embeds[None, :n_copy].astype(tok_embeds.dtype),
+                (0, AUDIO_OFFSET, 0),
+            )
+            is_audio = (slots_ax >= AUDIO_OFFSET) & (
+                slots_ax < AUDIO_OFFSET + n_audio
+            )
+            hidden = jnp.where(is_audio[None, :, None], shifted, tok_embeds)
+            return jnp.pad(hidden, ((0, 0), (0, p_pad - p_bucket), (0, 0)))
+
+        self._inject_jit[bucket] = jax.jit(fn)
+        return self._inject_jit[bucket]
 
     def _chunk_fn(self):
         """Chunked-admission stage 2: ONE bounded prefill chunk into the
@@ -386,22 +502,15 @@ class ContinuousBatcher:
 
     def _start_chunked(self, slot_idx, req, bucket, wave, n_true, ids,
                        prompt_len) -> None:
-        """Begin chunked admission: encode + inject now, prefill later.
+        """Begin chunked admission.
 
         The slot is reserved (not re-admittable) but stays out of decode
         (done flag) until _advance_prefill commits the finished cache.
+        Clips spanning several encoder window groups also SEGMENT the
+        encoder pass (one group per scheduler step); shorter clips
+        encode inline and go straight to chunked prefill.
         """
         engine = self.engine
-        hidden = self._encode_graph(bucket)(
-            engine.enc_params,
-            engine.dec_params,
-            jnp.asarray(wave),
-            jnp.int32(n_true),
-            jnp.asarray(ids),
-        )
-        tmp = KVCache.zeros(
-            engine.config.text, 1, hidden.shape[1], dtype=engine.dtype
-        )
         slot = self.slots[slot_idx]
         slot.request = req
         slot.tokens = []
@@ -409,13 +518,75 @@ class ContinuousBatcher:
             req.max_new_tokens or self.max_new, self.max_new
         )
         self.done[slot_idx] = True  # masked out of decode until commit
-        self.prefilling[slot_idx] = _PrefillJob(
-            hidden=hidden, tmp=tmp, prompt_len=prompt_len, bucket=bucket
+
+        cpw = engine.config.audio.chunks_per_window
+        gchunks = self._group_chunks(bucket)
+        if (
+            self.encode_window_groups is not None
+            and bucket > gchunks
+            and min(cpw, bucket) == cpw  # whole-window groups only
+        ):
+            mel = self._mel_graph(bucket)(
+                jnp.asarray(wave), jnp.int32(n_true)
+            )
+            n_groups = -(-bucket // gchunks)
+            tpc = engine.config.audio.tokens_per_chunk
+            buf = jnp.zeros(
+                (n_groups * gchunks * tpc, engine.config.audio.output_dim),
+                engine.dtype,
+            )
+            self.encoding[slot_idx] = _EncodeJob(
+                mel=mel, embeds=buf, n_true=n_true, ids=ids,
+                prompt_len=prompt_len, bucket=bucket, n_groups=n_groups,
+            )
+            logger.debug(
+                "slot %d segmented-encode admission started "
+                "(%d groups of %d chunks)", slot_idx, n_groups, gchunks,
+            )
+            return
+
+        hidden = self._encode_graph(bucket)(
+            engine.enc_params,
+            engine.dec_params,
+            jnp.asarray(wave),
+            jnp.int32(n_true),
+            jnp.asarray(ids),
         )
+        self._begin_prefill(slot_idx, bucket, hidden, prompt_len)
         logger.debug(
             "slot %d chunked admission started (prompt %d, chunk %d)",
             slot_idx, prompt_len, self.prefill_chunk_tokens,
         )
+
+    def _begin_prefill(self, slot_idx, bucket, hidden, prompt_len) -> None:
+        tmp = KVCache.zeros(
+            self.engine.config.text, 1, hidden.shape[1],
+            dtype=self.engine.dtype,
+        )
+        self.prefilling[slot_idx] = _PrefillJob(
+            hidden=hidden, tmp=tmp, prompt_len=prompt_len, bucket=bucket
+        )
+
+    def _advance_encode(self, slot_idx: int) -> None:
+        """Run ONE encoder window group; hand off to prefill when done."""
+        job = self.encoding[slot_idx]
+        job.embeds = self._encode_group_graph(job.bucket)(
+            self.engine.enc_params, job.mel, jnp.int32(job.n_true),
+            jnp.int32(job.cursor), job.embeds,
+        )
+        job.cursor += 1
+        if job.cursor >= job.n_groups:
+            hidden = self._inject_graph(job.bucket)(
+                self.engine.dec_params, job.embeds,
+                jnp.int32(job.n_true), jnp.asarray(job.ids),
+            )
+            del self.encoding[slot_idx]
+            self._begin_prefill(
+                slot_idx, job.bucket, hidden, job.prompt_len
+            )
+            logger.debug(
+                "slot %d encode complete; chunked prefill begins", slot_idx
+            )
 
     def _advance_prefill(self, slot_idx: int) -> None:
         """Run ONE bounded prefill chunk; commit to the slab when done."""
@@ -500,8 +671,19 @@ class ContinuousBatcher:
             if not any(s.active for s in self.slots):
                 return admitted
 
-        # advance each mid-admission slot by ONE bounded prefill chunk, so
-        # a long prompt never stalls decoding slots for more than a chunk
+        # advance each mid-admission slot by ONE bounded unit of work
+        # (an encoder window group, or a prefill chunk) so a long clip
+        # never stalls decoding slots for more than one dispatch
+        for i in list(self.encoding):
+            try:
+                self._advance_encode(i)
+            except Exception as e:  # noqa: BLE001
+                job_req = self.slots[i].request
+                job_req.error = e
+                job_req.event.set()
+                self.slots[i].request = None
+                self.encoding.pop(i, None)
+                self.done[i] = True
         for i in list(self.prefilling):
             try:
                 self._advance_prefill(i)
@@ -514,10 +696,10 @@ class ContinuousBatcher:
                 self.done[i] = True
 
         if not any(
-            s.active and i not in self.prefilling
+            s.active and i not in self.prefilling and i not in self.encoding
             for i, s in enumerate(self.slots)
         ):
-            return True  # only mid-prefill work this iteration
+            return True  # only mid-admission work this iteration
 
         # one decode segment over all slots
         fn = self._segment_graph()
@@ -536,7 +718,8 @@ class ContinuousBatcher:
         out = np.asarray(out)
 
         for i, slot in enumerate(self.slots):
-            if not slot.active or i in self.prefilling:
+            if (not slot.active or i in self.prefilling
+                    or i in self.encoding):
                 continue
             emitted = out[i][out[i] != PAD_TOKEN].tolist()
             room = slot.max_new - len(slot.tokens)
@@ -575,3 +758,4 @@ class ServingLoop(threading.Thread):
                         slot.request = None
                         self.batcher.done[i] = True
                 self.batcher.prefilling.clear()
+                self.batcher.encoding.clear()

@@ -185,3 +185,51 @@ def test_oversized_request_rejected(rng):
         batcher.submit(
             Request(np.zeros(16000 * 20, np.float32))  # 20 s > 8-chunk max
         )
+
+
+def test_segmented_encode_admission_matches_offline_engine(rng):
+    """Clips spanning multiple encoder window groups encode one group
+    per scheduler step (segmented admission) and still emit the exact
+    offline-engine tokens — window independence makes group-wise
+    encoding mathematically identical to the full-clip pass."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from qwen3_asr_rs_tpu.config import tiny_test_config
+    from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+    from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
+    from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+    from test_engine_e2e import MockTokenizer
+
+    cfg = tiny_test_config()
+    text = dataclasses.replace(cfg.text, vocab_size=151936)
+    cfg = dataclasses.replace(
+        cfg, thinker_config=dataclasses.replace(
+            cfg.thinker_config, text_config=text
+        )
+    )
+    eng = AsrEngine(
+        model_dir=None, dtype=jnp.float32, max_new_tokens=3,
+        chunk_buckets=(16,), config=cfg,
+        params=(init_encoder_params(cfg.audio, dtype=jnp.float32),
+                init_decoder_params(cfg.text, dtype=jnp.float32)),
+        tokenizer=MockTokenizer(),
+    )
+    # 10 chunks of audio -> bucket 16; groups of 1 window (8 chunks)
+    # -> 2 encode groups
+    batcher = ContinuousBatcher(
+        eng, n_slots=2, segment_steps=2, prefill_chunk_tokens=16,
+        encode_window_groups=1, max_chunks=16,
+    )
+    samples = (rng.standard_normal(16000 * 10) * 0.1).astype(np.float32)
+    req = Request(samples)
+    batcher.submit(req)
+    # drive: the first steps must leave the slot in the encoding phase
+    batcher.step()
+    assert 0 in batcher.encoding and batcher.encoding[0].n_groups == 2
+    _drive(batcher, lambda: req.event.is_set())
+    assert not batcher.encoding
+
+    offline = eng.transcribe_samples(samples)
+    assert req.result.raw_output == offline.raw_output
