@@ -113,6 +113,8 @@ class AsrDataset:
         seed: int = 0,
         forced_language: bool = False,
         drop_last: bool = False,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ):
         self.utts = (
             read_manifest(manifest)
@@ -127,6 +129,17 @@ class AsrDataset:
         self.seed = seed
         self.forced_language = forced_language
         self.drop_last = drop_last
+        # Data-parallel sharding across hosts: every host builds the SAME
+        # per-epoch permutation (shared seed) and takes a disjoint strided
+        # slice — pass shard_index=jax.process_index(),
+        # num_shards=jax.process_count() in multi-host dp training.
+        if not 0 <= shard_index < num_shards:
+            raise ValueError(
+                f"shard_index {shard_index} out of range for "
+                f"{num_shards} shards"
+            )
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         from ..features.mel import create_mel_filterbank
 
         # numpy (host) filterbank so the mel jit stays on the cpu backend
@@ -234,7 +247,9 @@ class AsrDataset:
         """
         rng = np.random.default_rng(self.seed)
         for epoch in range(epochs):
-            order = rng.permutation(len(self.utts))
+            order = rng.permutation(len(self.utts))[
+                self.shard_index :: self.num_shards
+            ]
             pending: dict[int, list[dict]] = {}
             for idx in order:
                 try:

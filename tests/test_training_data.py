@@ -184,3 +184,32 @@ def test_async_checkpointer_roundtrip(tmp_path):
         np.asarray(state.params["decoder"]["final_ln_w"], np.float32),
     )
     ck.close()
+
+
+def test_dataset_sharding_partitions_manifest(corpus):
+    """dp-host shards see disjoint utterances whose union is the epoch."""
+
+    class Recording(AsrDataset):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.seen = []
+
+        def make_example(self, utt):
+            self.seen.append(utt.text)
+            return super().make_example(utt)
+
+    kw = dict(
+        tokenizer=MockTokenizer(), config=tiny_test_config(),
+        chunk_buckets=(2, 4), batch_size=1, max_text_tokens=16, seed=3,
+    )
+    shards = []
+    for i in range(2):
+        ds = Recording(corpus, shard_index=i, num_shards=2, **kw)
+        list(ds.batches())
+        shards.append(ds.seen)
+    assert len(shards[0]) + len(shards[1]) == 5
+    assert abs(len(shards[0]) - len(shards[1])) <= 1
+    assert not (set(shards[0]) & set(shards[1]))
+
+    with pytest.raises(ValueError):
+        AsrDataset(corpus, shard_index=2, num_shards=2, **kw)
