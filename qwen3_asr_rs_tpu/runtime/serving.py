@@ -162,10 +162,22 @@ class ContinuousBatcher:
             cfg.text, n_slots, self.s_max, dtype=engine.dtype
         )
         self.slots = [_Slot() for _ in range(n_slots)]
-        # per-slot device-loop state, kept host-side between segments
+        # Device-RESIDENT decode state: the segment graph's source of
+        # truth. Segments are PIPELINED — segment k+1 is dispatched
+        # before segment k's outputs are fetched, so the host round-trip
+        # (~28 ms through a tunneled transport) overlaps device compute.
+        self.d_tok = jnp.zeros(n_slots, jnp.int32)
+        self.d_pos = jnp.zeros(n_slots, jnp.int32)
+        self.d_done = jnp.ones(n_slots, bool)
+        # host mirrors for scheduling decisions (lag by one segment)
         self.tok = np.zeros(n_slots, np.int32)
         self.pos = np.zeros(n_slots, np.int32)
         self.done = np.ones(n_slots, bool)
+        # admissions/finishes bump a slot's version; a drained segment
+        # only applies to slots whose version matches its dispatch
+        self._slot_version = np.zeros(n_slots, np.int64)
+        self._inflight = None
+        self._setstate_jit = None
 
         self.queue: "queue.Queue[Request]" = queue.Queue()
         self.prefilling: dict[int, _PrefillJob] = {}
@@ -492,9 +504,7 @@ class ContinuousBatcher:
         slot.max_new = min(
             req.max_new_tokens or self.max_new, self.max_new
         )
-        self.tok[slot_idx] = int(tok0)
-        self.pos[slot_idx] = prompt_len
-        self.done[slot_idx] = False
+        self._set_slot_state(slot_idx, tok0, prompt_len, False)
         logger.debug(
             "admitted request into slot %d (bucket %d chunks, prompt %d)",
             slot_idx, bucket, prompt_len,
@@ -517,7 +527,8 @@ class ContinuousBatcher:
         slot.max_new = min(
             req.max_new_tokens or self.max_new, self.max_new
         )
-        self.done[slot_idx] = True  # masked out of decode until commit
+        # masked out of decode until commit
+        self._set_slot_state(slot_idx, 0, 0, True)
 
         cpw = engine.config.audio.chunks_per_window
         gchunks = self._group_chunks(bucket)
@@ -609,14 +620,41 @@ class ContinuousBatcher:
                 jnp.int32(slot_idx),
             )
             self.cache = KVCache(k=sk, v=sv)
-            self.tok[slot_idx] = int(tok0)
-            self.pos[slot_idx] = job.prompt_len
-            self.done[slot_idx] = False
+            self._set_slot_state(slot_idx, tok0, job.prompt_len, False)
             del self.prefilling[slot_idx]
             logger.debug(
                 "slot %d prefill committed (%d prompt tokens)",
                 slot_idx, job.prompt_len,
             )
+
+    def _slot_update_fn(self):
+        if self._setstate_jit is None:
+            def fn(d_tok, d_pos, d_done, i, t, p, flag):
+                return (
+                    d_tok.at[i].set(t),
+                    d_pos.at[i].set(p),
+                    d_done.at[i].set(flag),
+                )
+
+            self._setstate_jit = jax.jit(fn)
+        return self._setstate_jit
+
+    def _set_slot_state(self, i, tok0, pos0, done) -> None:
+        """Scatter one slot's decode state into the device arrays.
+
+        ``tok0`` may be a device scalar (no host sync — the host tok
+        mirror is not used for scheduling). Bumps the slot version so an
+        already-inflight segment cannot clobber this slot at drain.
+        """
+        self.d_tok, self.d_pos, self.d_done = self._slot_update_fn()(
+            self.d_tok, self.d_pos, self.d_done,
+            jnp.int32(i), jnp.asarray(tok0, jnp.int32),
+            jnp.int32(pos0), jnp.asarray(done),
+        )
+        self.tok[i] = 0
+        self.pos[i] = pos0
+        self.done[i] = bool(done)
+        self._slot_version[i] += 1
 
     def _finish(self, slot_idx: int) -> None:
         slot = self.slots[slot_idx]
@@ -632,13 +670,72 @@ class ContinuousBatcher:
         req.finish_time = time.monotonic()
         req.event.set()
         slot.request = None
-        self.done[slot_idx] = True
+        # force the device done flag too: an inflight segment may still
+        # be decoding this slot; without this a cap-finished slot would
+        # keep stepping until readmission
+        self._set_slot_state(slot_idx, 0, int(self.pos[slot_idx]), True)
         logger.debug(
             "slot %d finished with %d tokens", slot_idx, len(slot.tokens)
         )
 
+    def _dispatch_segment(self) -> None:
+        """Launch one decode segment from the device state (async)."""
+        fn = self._segment_graph()
+        tok, pos, done, out, k, v = fn(
+            self.engine.dec_params,
+            self.cache.k,
+            self.cache.v,
+            self.d_tok,
+            self.d_pos,
+            self.d_done,
+        )
+        self.cache = KVCache(k=k, v=v)
+        self.d_tok, self.d_pos, self.d_done = tok, pos, done
+        self._inflight = (out, tok, pos, done, self._slot_version.copy())
+        for a in (out, tok, pos, done):
+            try:
+                a.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — best-effort prefetch
+                pass
+
+    def _drain(self) -> None:
+        """Fetch + apply the previously dispatched segment's results.
+
+        Called AFTER the next segment is dispatched, so this host
+        round-trip overlaps device compute. A slot whose version changed
+        since dispatch (re-admitted or force-finished) is skipped.
+        """
+        if self._inflight is None:
+            return
+        out, tok, pos, done, vers = self._inflight
+        self._inflight = None
+        out = np.asarray(out)
+        tok = np.asarray(tok)
+        pos = np.asarray(pos)
+        done = np.asarray(done)
+        for i, slot in enumerate(self.slots):
+            if self._slot_version[i] != vers[i]:
+                continue
+            self.tok[i] = tok[i]
+            self.pos[i] = pos[i]
+            self.done[i] = done[i]
+            if (not slot.active or i in self.prefilling
+                    or i in self.encoding):
+                continue
+            emitted = out[i][out[i] != PAD_TOKEN].tolist()
+            room = slot.max_new - len(slot.tokens)
+            slot.tokens.extend(emitted[:room])
+            if done[i] or len(slot.tokens) >= slot.max_new:
+                self._finish(i)
+
     def step(self, block_timeout: float = 0.05) -> bool:
-        """One scheduler iteration. Returns True if any work was done."""
+        """One scheduler iteration. Returns True if any work was done.
+
+        Order matters: admissions first (their device ops precede the
+        segment), then the next decode segment is DISPATCHED, and only
+        then is the previous segment DRAINED — decode never waits on the
+        host round-trip (segment pipelining).
+        """
         # admit as many queued requests as there are free slots
         admitted = False
         for i, slot in enumerate(self.slots):
@@ -655,7 +752,7 @@ class ContinuousBatcher:
                 req.error = e
                 req.event.set()
 
-        if not any(s.active for s in self.slots):
+        if not any(s.active for s in self.slots) and self._inflight is None:
             if not admitted:
                 # idle: block briefly for the next request
                 try:
@@ -683,7 +780,7 @@ class ContinuousBatcher:
                 job_req.event.set()
                 self.slots[i].request = None
                 self.encoding.pop(i, None)
-                self.done[i] = True
+                self._set_slot_state(i, 0, 0, True)
         for i in list(self.prefilling):
             try:
                 self._advance_prefill(i)
@@ -693,39 +790,15 @@ class ContinuousBatcher:
                 job_req.event.set()
                 self.slots[i].request = None
                 del self.prefilling[i]
-                self.done[i] = True
+                self._set_slot_state(i, 0, 0, True)
 
-        if not any(
+        decodable = any(
             s.active and i not in self.prefilling and i not in self.encoding
             for i, s in enumerate(self.slots)
-        ):
-            return True  # only mid-admission work this iteration
-
-        # one decode segment over all slots
-        fn = self._segment_graph()
-        tok, pos, done, out, k, v = fn(
-            self.engine.dec_params,
-            self.cache.k,
-            self.cache.v,
-            jnp.asarray(self.tok),
-            jnp.asarray(self.pos),
-            jnp.asarray(self.done),
         )
-        self.cache = KVCache(k=k, v=v)
-        self.tok = np.asarray(tok).copy()
-        self.pos = np.asarray(pos).copy()
-        self.done = np.asarray(done).copy()
-        out = np.asarray(out)
-
-        for i, slot in enumerate(self.slots):
-            if (not slot.active or i in self.prefilling
-                    or i in self.encoding):
-                continue
-            emitted = out[i][out[i] != PAD_TOKEN].tolist()
-            room = slot.max_new - len(slot.tokens)
-            slot.tokens.extend(emitted[:room])
-            if self.done[i] or len(slot.tokens) >= slot.max_new:
-                self._finish(i)
+        if decodable:
+            self._dispatch_segment()
+        self._drain()
         return True
 
 
@@ -759,3 +832,4 @@ class ServingLoop(threading.Thread):
                         self.batcher.done[i] = True
                 self.batcher.prefilling.clear()
                 self.batcher.encoding.clear()
+                self.batcher._inflight = None
