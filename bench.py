@@ -12,7 +12,11 @@ architecture, in six configurations:
 
 Prints ONE JSON line; the headline metric stays the bf16 30 s xRT
 (comparable across rounds; int8 WER is unvalidated without real weights),
-with the other rows in "extra".
+with the other rows in "extra". Configs run in priority order (bf16
+first) under a wall-clock budget (ASR_BENCH_BUDGET_S, default 1500):
+compiling all six graphs cold through the tunnel can exceed a driver
+timeout, and a killed process emits NO result line — skipping the tail
+configs keeps the headline safe.
 
 The reference publishes no numbers (BASELINE.md); vs_baseline is measured
 against the north-star target of 100x real-time per chip.
@@ -112,6 +116,8 @@ def _bench_once(engine, config, seconds, num_chunks):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -126,6 +132,8 @@ def main():
     dec_params = init_decoder_params(config.text, dtype=jnp.bfloat16)
     params = (enc_params, dec_params)
 
+    budget = float(os.environ.get("ASR_BENCH_BUDGET_S", "1500"))
+    t_start = time.perf_counter()
     rows = {}
     for quant in (None, "int8", "int4"):
         tag = quant or "bf16"
@@ -135,12 +143,18 @@ def main():
         rows[f"{tag}_xrt_30s_128tok"] = round(30.0 / t30, 2)
         rows[f"{tag}_ms_30s"] = round(t30 * 1000, 1)
         del eng
+        if time.perf_counter() - t_start > budget:
+            rows["truncated_at"] = f"{tag}_30s (budget {budget:.0f}s)"
+            break
 
         print(f"--- {tag} 4 s / 16 tok (latency)", file=sys.stderr)
         eng = _mk_engine(config, params, quant, max_new=16, bucket=4)
         t4 = _bench_once(eng, config, 4.0, 4)
         rows[f"{tag}_p50_ms_4s_16tok"] = round(t4 * 1000, 1)
         del eng
+        if time.perf_counter() - t_start > budget:
+            rows["truncated_at"] = f"{tag}_4s (budget {budget:.0f}s)"
+            break
 
     xrt = rows["bf16_xrt_30s_128tok"]
     result = {
