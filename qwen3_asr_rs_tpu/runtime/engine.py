@@ -118,6 +118,18 @@ class AsrEngine:
                 bits=4 if quantize == "int4" else 8,
                 merge=mesh is None,
             )
+        elif quantize == "lm8":
+            # bf16 layers + int8 lm_head: the mildest quality knob —
+            # hidden states stay full precision, only the final matvec's
+            # stream halves (~12% faster bf16 decode at 0.6B)
+            from ..weights.quantize import quantize_lm_head_only
+
+            if mesh is not None:
+                raise ValueError(
+                    "quantize='lm8' is not supported under a mesh"
+                )
+            logger.info("Quantizing lm_head to int8 (layers stay bf16)")
+            self.dec_params = quantize_lm_head_only(self.dec_params)
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
 

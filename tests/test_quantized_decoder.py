@@ -207,3 +207,19 @@ def test_merged_qkv_gateup_matches_separate(rng):
         np.testing.assert_allclose(
             np.asarray(lm), np.asarray(ls), atol=1e-4, rtol=1e-5
         )
+
+
+def test_engine_with_lm8_quantization(rng):
+    """bf16 layers + int8 lm_head: mildest quality knob, runs e2e."""
+    _, cfg, enc_params, dec_params = make_engine(max_new=4)
+    eng = AsrEngine(
+        model_dir=None, dtype=jnp.float32, max_new_tokens=4,
+        chunk_buckets=(2, 4), config=cfg,
+        params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+        quantize="lm8",
+    )
+    assert "lm_head_q" in eng.dec_params
+    assert "q_w" in eng.dec_params["layers"]  # layers untouched
+    samples = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    out = eng.transcribe_samples(samples)
+    assert isinstance(out.text, str)
