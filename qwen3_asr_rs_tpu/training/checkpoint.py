@@ -49,18 +49,51 @@ class AsyncTrainCheckpointer:
     Keeps the newest ``max_to_keep`` step directories.
     """
 
-    def __init__(self, root: str | Path, max_to_keep: int = 3):
+    def __init__(self, root: str | Path, max_to_keep: int = 3,
+                 keep_best: int = 0, best_mode: str = "min"):
+        import json
+
         import orbax.checkpoint as ocp
 
         self.root = Path(root).absolute()
         self.root.mkdir(parents=True, exist_ok=True)
         self.max_to_keep = max_to_keep
+        # best-k retention: checkpoints whose metric ranks in the top
+        # ``keep_best`` (per ``best_mode``: "min" for losses, "max" for
+        # accuracies) are never pruned; the metric journal persists in
+        # metrics.json so resumes keep the ranking.
+        if best_mode not in ("min", "max"):
+            raise ValueError(f"best_mode must be min or max, got {best_mode}")
+        self.keep_best = keep_best
+        self.best_mode = best_mode
+        self._metrics_path = self.root / "metrics.json"
+        self._metrics: dict[str, float] = (
+            json.loads(self._metrics_path.read_text())
+            if self._metrics_path.exists()
+            else {}
+        )
         self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        # steps saved this session + already on disk, for recency-based
+        # pruning (the just-saved step's dir is still an orbax tmp)
+        self._saved_steps = {
+            int(p.name.split("_")[1]) for p in self._step_dirs()
+        }
 
     def step_path(self, step: int) -> Path:
         return self.root / f"step_{step:08d}"
 
-    def save(self, state: TrainState) -> Path:
+    def _step_dirs(self) -> list[Path]:
+        """Finalized step directories (excludes orbax tmp dirs)."""
+        import re as _re
+
+        return sorted(
+            p for p in self.root.glob("step_*")
+            if _re.fullmatch(r"step_\d{8}", p.name)
+        )
+
+    def save(self, state: TrainState, metric: float | None = None) -> Path:
+        import json
+
         step = int(state.step)
         path = self.step_path(step)
         self._ckptr.save(
@@ -72,28 +105,65 @@ class AsyncTrainCheckpointer:
             },
             force=True,
         )
+        self._saved_steps.add(step)
+        if metric is not None:
+            self._metrics[str(step)] = float(metric)
+            self._metrics_path.write_text(json.dumps(self._metrics))
         logger.info("Async checkpoint started for step %d at %s", step, path)
         self._gc()
         return path
 
+    def _ranked_best(self) -> list[int]:
+        """Step numbers best-first by the journaled metric."""
+        sign = 1.0 if self.best_mode == "min" else -1.0
+        return [
+            int(k)
+            for k, _ in sorted(
+                self._metrics.items(), key=lambda kv: sign * kv[1]
+            )
+        ]
+
     def _gc(self) -> None:
-        steps = sorted(self.root.glob("step_*"))
-        if len(steps) <= self.max_to_keep:
+        steps = self._step_dirs()
+        protected = set(self._ranked_best()[: self.keep_best])
+        protected |= set(sorted(self._saved_steps)[-self.max_to_keep :])
+        victims = [
+            p for p in steps if int(p.name.split("_")[1]) not in protected
+        ]
+        if not victims:
             return
         import shutil
 
         # join outstanding writes first: never delete under a writer
         self._ckptr.wait_until_finished()
-        for old in steps[: -self.max_to_keep]:
+        for old in victims:
             shutil.rmtree(old, ignore_errors=True)
+            self._metrics.pop(str(int(old.name.split("_")[1])), None)
             logger.info("Pruned old checkpoint %s", old)
+
+    def best(self) -> Path | None:
+        """Path of the best-metric checkpoint still on disk."""
+        self.wait()
+        for step in self._ranked_best():
+            p = self.step_path(step)
+            if p.exists():
+                return p
+        return None
+
+    def restore_best(self, template: TrainState) -> TrainState:
+        path = self.best()
+        if path is None:
+            raise FileNotFoundError(
+                f"no metric-journaled checkpoints under {self.root}"
+            )
+        return restore_train_state(path, template)
 
     def wait(self) -> None:
         self._ckptr.wait_until_finished()
 
     def latest(self) -> Path | None:
         self.wait()
-        steps = sorted(self.root.glob("step_*"))
+        steps = self._step_dirs()
         return steps[-1] if steps else None
 
     def restore_latest(self, template: TrainState) -> TrainState:

@@ -213,3 +213,34 @@ def test_dataset_sharding_partitions_manifest(corpus):
 
     with pytest.raises(ValueError):
         AsrDataset(corpus, shard_index=2, num_shards=2, **kw)
+
+
+def test_async_checkpointer_best_k(tmp_path):
+    """Best-metric checkpoints survive pruning; restore_best works."""
+    from qwen3_asr_rs_tpu.training.checkpoint import AsyncTrainCheckpointer
+
+    cfg = tiny_test_config()
+    dec = init_decoder_params(cfg.text, dtype=jnp.float32)
+    opt = optax.sgd(1e-3)
+    state = TrainState(
+        params=dec, opt_state=opt.init(dec), step=jnp.int32(0)
+    )
+
+    ck = AsyncTrainCheckpointer(
+        tmp_path / "ck", max_to_keep=2, keep_best=1
+    )
+    losses = {1: 5.0, 2: 1.5, 3: 4.0, 4: 3.0, 5: 2.0}
+    for step, loss in losses.items():
+        state = TrainState(
+            params=state.params, opt_state=state.opt_state,
+            step=jnp.int32(step),
+        )
+        ck.save(state, metric=loss)
+    ck.wait()
+    kept = sorted(p.name for p in (tmp_path / "ck").glob("step_*"))
+    # newest two (4, 5) plus the best (2)
+    assert kept == ["step_00000002", "step_00000004", "step_00000005"]
+    assert ck.best().name == "step_00000002"
+    restored = ck.restore_best(state)
+    assert int(restored.step) == 2
+    ck.close()
