@@ -135,7 +135,9 @@ def main():
     budget = float(os.environ.get("ASR_BENCH_BUDGET_S", "1500"))
     t_start = time.perf_counter()
     rows = {}
-    for quant in (None, "int8", "int4"):
+    # bf16 headline first; int4 (the best number) before int8 so a
+    # budget truncation drops the least informative rows
+    for quant in (None, "int4", "int8"):
         tag = quant or "bf16"
         print(f"--- {tag} 30 s / 128 tok", file=sys.stderr)
         eng = _mk_engine(config, params, quant, max_new=128, bucket=30)
