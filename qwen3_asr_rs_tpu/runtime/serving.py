@@ -155,8 +155,14 @@ class ContinuousBatcher:
         self.max_chunks = max_chunks
 
         cfg = engine.config
+        # Headroom covers pipelining overshoot: a slot that reaches
+        # max_new while a segment is already in flight keeps writing for
+        # up to one more segment, so size it by segment_steps (min 8),
+        # not the default segment length.
         self.s_max = (
-            engine._prompt_bucket(max_chunks) + max_new_tokens + 8
+            engine._prompt_bucket(max_chunks)
+            + max_new_tokens
+            + max(8, segment_steps)
         )
         self.cache = KVCache.zeros(
             cfg.text, n_slots, self.s_max, dtype=engine.dtype

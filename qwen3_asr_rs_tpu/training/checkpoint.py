@@ -78,6 +78,9 @@ class AsyncTrainCheckpointer:
         self._saved_steps = {
             int(p.name.split("_")[1]) for p in self._step_dirs()
         }
+        # the most recent async dispatch, possibly still writing; _gc
+        # only joins the writer when a prune victim is this path
+        self._last_dispatched: Path | None = None
 
     def step_path(self, step: int) -> Path:
         return self.root / f"step_{step:08d}"
@@ -96,6 +99,15 @@ class AsyncTrainCheckpointer:
 
         step = int(state.step)
         path = self.step_path(step)
+        self._saved_steps.add(step)
+        if metric is not None:
+            self._metrics[str(step)] = float(metric)
+            self._metrics_path.write_text(json.dumps(self._metrics))
+        # Prune BEFORE dispatching, so in steady state the victim set
+        # never contains the write we are about to start and save()
+        # stays non-blocking (the round-2 version gc'd after dispatch
+        # and waited on its own write every call past max_to_keep).
+        self._gc()
         self._ckptr.save(
             path,
             {
@@ -105,12 +117,8 @@ class AsyncTrainCheckpointer:
             },
             force=True,
         )
-        self._saved_steps.add(step)
-        if metric is not None:
-            self._metrics[str(step)] = float(metric)
-            self._metrics_path.write_text(json.dumps(self._metrics))
+        self._last_dispatched = path
         logger.info("Async checkpoint started for step %d at %s", step, path)
-        self._gc()
         return path
 
     def _ranked_best(self) -> list[int]:
@@ -134,8 +142,16 @@ class AsyncTrainCheckpointer:
             return
         import shutil
 
-        # join outstanding writes first: never delete under a writer
-        self._ckptr.wait_until_finished()
+        # A finalized step_XXXXXXXX dir means orbax's atomic tmp->final
+        # rename already happened, so deleting it cannot race the array
+        # writes; only the most recent dispatch may still have pending
+        # commit work. Join the writer ONLY if that path is a victim
+        # (max_to_keep=1 edge case) — otherwise save() stays async.
+        if self._last_dispatched is not None and any(
+            p == self._last_dispatched for p in victims
+        ):
+            self._ckptr.wait_until_finished()
+            self._last_dispatched = None
         for old in victims:
             shutil.rmtree(old, ignore_errors=True)
             self._metrics.pop(str(int(old.name.split("_")[1])), None)

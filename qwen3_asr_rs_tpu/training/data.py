@@ -67,6 +67,10 @@ class Utterance:
     audio: Path
     text: str
     language: Optional[str] = None
+    # optional duration in seconds (manifest key "duration"); when
+    # present, multi-host sharding can build its global batch schedule
+    # without probing the audio files
+    duration: Optional[float] = None
 
 
 def read_manifest(path: str | Path) -> list[Utterance]:
@@ -83,11 +87,13 @@ def read_manifest(path: str | Path) -> list[Utterance]:
                 audio = Path(row["audio"])
                 if not audio.is_absolute():
                     audio = path.parent / audio
+                dur = row.get("duration")
                 utts.append(
                     Utterance(
                         audio=audio,
                         text=str(row["text"]),
                         language=row.get("language"),
+                        duration=None if dur is None else float(dur),
                     )
                 )
             except (json.JSONDecodeError, KeyError) as e:
@@ -130,8 +136,10 @@ class AsrDataset:
         self.forced_language = forced_language
         self.drop_last = drop_last
         # Data-parallel sharding across hosts: every host builds the SAME
-        # per-epoch permutation (shared seed) and takes a disjoint strided
-        # slice — pass shard_index=jax.process_index(),
+        # global batch schedule (shared seed + per-utterance buckets) and
+        # takes a disjoint strided slice of BATCHES, padded so every host
+        # yields the same count per epoch (see batches()) — pass
+        # shard_index=jax.process_index(),
         # num_shards=jax.process_count() in multi-host dp training.
         if not 0 <= shard_index < num_shards:
             raise ValueError(
@@ -238,18 +246,87 @@ class AsrDataset:
 
     # ------------------------------------------------------------------ #
 
+    def _null_example(self, bucket: int) -> dict:
+        """Shape-compatible silent example contributing zero loss.
+
+        Used as multi-host lockstep filler (schedule padding / unreadable
+        audio substitution): zero waveform of exactly ``bucket`` chunks,
+        open-language prompt, no target, loss_mask all zero.
+        """
+        cf = self.config.audio.chunk_frames
+        samples = np.zeros(bucket * cf * 160, np.float32)
+        wave, n_true = pad_waveform(samples, bucket_frames=bucket * cf)
+        tpc = self.config.audio.tokens_per_chunk
+        full, tail = n_true // cf, n_true % cf
+        n_audio = full * tpc + (
+            feat_extract_output_length(tail) if tail else 0
+        )
+        prompt = build_prompt(n_audio, None, self.tokenizer)
+        seq_len = self._seq_len(bucket)
+        token_ids = np.full(seq_len, ENDOFTEXT_TOKEN_ID, np.int32)
+        token_ids[: len(prompt)] = prompt
+        return {
+            "bucket": bucket,
+            "mel": self._host_mel(wave, n_true).astype(np.float32),
+            "n_frames": np.int32(n_true),
+            "n_audio": np.int32(n_audio),
+            "token_ids": token_ids,
+            "loss_mask": np.zeros(seq_len, np.float32),
+        }
+
+    def _bucket_of(self, idx: int) -> Optional[int]:
+        """Bucket for utterance ``idx`` without building the example.
+
+        Prefers the manifest ``duration`` field; otherwise probes the
+        audio once (cached). Returns None when the audio is unreadable
+        or overflows the largest bucket.
+        """
+        if not hasattr(self, "_bucket_cache"):
+            self._bucket_cache: dict[int, Optional[int]] = {}
+        if idx in self._bucket_cache:
+            return self._bucket_cache[idx]
+        utt = self.utts[idx]
+        bucket: Optional[int] = None
+        try:
+            if utt.duration is not None:
+                n_frames = num_mel_frames(int(round(utt.duration * 16000)))
+            else:
+                from ..audio.load import load_audio
+
+                n_frames = num_mel_frames(
+                    len(load_audio(utt.audio, target_sample_rate=16000))
+                )
+            bucket = self._pick_bucket(max(1, n_frames))
+        except Exception as e:  # noqa: BLE001 — excluded globally
+            logger.warning("excluding %s from schedule: %s", utt.audio, e)
+        self._bucket_cache[idx] = bucket
+        return bucket
+
     def batches(self, epochs: int = 1) -> Iterator[dict]:
         """Yield fixed-shape batch dicts grouped by chunk bucket.
 
         Every batch is padded to exactly ``batch_size`` examples (the
         pad rows repeat a real example with loss_mask zeroed), so each
         bucket has ONE train-step compilation.
+
+        With ``num_shards > 1`` every host yields EXACTLY the same number
+        of batches per epoch (lockstep-safe for multi-host dp training):
+        all hosts build the same global batch schedule from the shared
+        seed + per-utterance buckets (manifest ``duration`` or a one-time
+        audio probe — unreadable files are excluded identically on every
+        host, assuming a shared dataset), the schedule is padded to a
+        multiple of ``num_shards`` with zero-loss filler batches, and
+        each host takes a strided slice of *batches*, not examples. An
+        utterance whose audio fails to build mid-epoch is substituted
+        with a zero-loss example instead of skipped, so step counts never
+        diverge.
         """
+        if self.num_shards > 1:
+            yield from self._sharded_batches(epochs)
+            return
         rng = np.random.default_rng(self.seed)
         for epoch in range(epochs):
-            order = rng.permutation(len(self.utts))[
-                self.shard_index :: self.num_shards
-            ]
+            order = rng.permutation(len(self.utts))
             pending: dict[int, list[dict]] = {}
             for idx in order:
                 try:
@@ -269,12 +346,74 @@ class AsrDataset:
                     if group:
                         yield self._collate(group)
 
-    def _collate(self, group: list[dict]) -> dict:
+    def _sharded_batches(self, epochs: int) -> Iterator[dict]:
+        rng = np.random.default_rng(self.seed)
+        if any(u.duration is None for u in self.utts):
+            logger.warning(
+                "multi-host sharding without manifest 'duration' fields: "
+                "probing %d audio files to assign buckets (one-time cost; "
+                "add durations to the manifest to skip this)",
+                sum(u.duration is None for u in self.utts),
+            )
+        for epoch in range(epochs):
+            order = rng.permutation(len(self.utts))
+            # global, identical-on-every-host batch schedule
+            schedule: list[tuple[int, list[int], bool]] = []
+            pending_idx: dict[int, list[int]] = {}
+            for idx in order:
+                bucket = self._bucket_of(int(idx))
+                if bucket is None:
+                    continue
+                group = pending_idx.setdefault(bucket, [])
+                group.append(int(idx))
+                if len(group) == self.batch_size:
+                    schedule.append((bucket, group, False))
+                    pending_idx[bucket] = []
+            if not self.drop_last:
+                for bucket, group in pending_idx.items():
+                    if group:
+                        schedule.append((bucket, group, False))
+            # pad to a shard multiple with zero-loss filler batches
+            while schedule and len(schedule) % self.num_shards:
+                bucket, group, _ = schedule[-1]
+                schedule.append((bucket, group, True))
+            for bucket, idxs, zero_loss in schedule[
+                self.shard_index :: self.num_shards
+            ]:
+                yield self._build_batch(bucket, idxs, zero_loss)
+
+    def _build_batch(
+        self, bucket: int, idxs: list[int], zero_loss: bool
+    ) -> dict:
+        group: list[dict] = []
+        for idx in idxs:
+            try:
+                ex = self.make_example(self.utts[idx])
+                if ex["bucket"] != bucket:
+                    raise ValueError(
+                        f"bucket changed between probe ({bucket}) and "
+                        f"build ({ex['bucket']})"
+                    )
+            except Exception as e:  # noqa: BLE001 — substitute, not skip
+                logger.warning(
+                    "substituting zero-loss filler for %s: %s",
+                    self.utts[idx].audio, e,
+                )
+                ex = self._null_example(bucket)
+            group.append(ex)
+        return self._collate(group, zero_loss=zero_loss)
+
+    def _collate(self, group: list[dict], zero_loss: bool = False) -> dict:
         n_pad = self.batch_size - len(group)
         if n_pad:
             filler = dict(group[-1])
             filler["loss_mask"] = np.zeros_like(filler["loss_mask"])
             group = group + [filler] * n_pad
+        if zero_loss:
+            group = [
+                dict(g, loss_mask=np.zeros_like(g["loss_mask"]))
+                for g in group
+            ]
         return {
             "mel": np.stack([g["mel"] for g in group]),
             "n_frames": np.stack([g["n_frames"] for g in group]),

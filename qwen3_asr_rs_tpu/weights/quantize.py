@@ -53,8 +53,9 @@ def quantize_decoder_params(
     bits=4 packs each decoder linear two-values-per-int8 (``{name}_q4``,
     see ops/pallas/quant_matmul.quantize_weight_int4) — a QUARTER of the
     bf16 HBM bytes on the decode-dominant weight streams. The lm_head
-    stays int8 in both modes: it is read once per token through an XLA
-    matvec where nibble unpacking would materialize the full bf16 matrix.
+    width follows ``lm_bits`` (default: same as ``bits``): int8 runs an
+    XLA matvec; int4 runs the tiled Pallas matvec
+    (quant_matvec_int4), valid under either layer width.
 
     ``merge=True`` (default) emits column-merged ``qkv_w`` / ``gateup_w``
     tensors instead of separate q/k/v and gate/up (see MERGED_GROUPS;
@@ -104,7 +105,12 @@ def quantize_decoder_params(
     lm = params["lm_head"]
     if lm_bits is None:
         lm_bits = int(os.environ.get("ASR_LM_BITS", bits))
-    if bits == 4 and lm_bits == 4:
+    if lm_bits not in (4, 8):
+        raise ValueError(f"lm_bits must be 4 or 8, got {lm_bits}")
+    if lm_bits == 4:
+        # honored independently of layer bits: the tiled int4 matvec
+        # (quant_matvec_int4) only reads the lm_head tensors, so
+        # int8 layers + int4 lm_head is a valid combination
         lm_q4, lm_s = quantize_weight_int4_tiled(jnp.transpose(lm))
         out["lm_head_q4"] = lm_q4
         out["lm_head_s"] = lm_s.astype(jnp.float32)

@@ -145,6 +145,51 @@ def test_int4_forward_matches_dequantized_reference(rng):
     )
 
 
+def test_int8_layers_with_int4_lm_head(rng):
+    """lm_bits=4 is honored under bits=8 (was silently ignored; ADVICE
+    r2): layers quantize int8, lm_head packs int4, logits stay close to
+    the int8-lm_head reference."""
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    q84 = quantize_decoder_params(params, bits=8, merge=False, lm_bits=4)
+    assert "lm_head_q4" in q84 and "lm_head_q" not in q84
+    assert "q_w_q" in q84["layers"]  # layers stay int8
+
+    # reference: same int8 layers, lm_head explicitly dequantized from
+    # the SAME int4 values (tile-local packing, see
+    # quantize_weight_int4_tiled) through the plain einsum path
+    from qwen3_asr_rs_tpu.ops.pallas.quant_matmul import MATVEC_TILE
+
+    p = np.asarray(q84["lm_head_q4"], np.int32)
+    k, half = p.shape
+    n_pad = half * 2
+    lo = (p << 28) >> 28
+    hi = p >> 4
+    w = np.zeros((k, n_pad), np.float32)
+    wr = w.reshape(k, -1, MATVEC_TILE)
+    wr[:, :, : MATVEC_TILE // 2] = lo.reshape(k, -1, MATVEC_TILE // 2)
+    wr[:, :, MATVEC_TILE // 2 :] = hi.reshape(k, -1, MATVEC_TILE // 2)
+    s = np.asarray(q84["lm_head_s"], np.float32)
+    deq_lm = (w[:, : s.shape[0]] * s[None, :]).T  # (V, H)
+    ref = {key: v for key, v in q84.items()
+           if key not in ("lm_head_q4", "lm_head_s")}
+    ref["lm_head"] = jnp.asarray(deq_lm)
+
+    dec = TextDecoder(cfg, max_position=64)
+    ids = jnp.asarray([[3, 7, 1, 9, 2]], jnp.int32)
+    hidden = dec.embed(params, ids)
+    got = dec.forward_full(q84, hidden, jnp.arange(5))
+    want = dec.forward_full(ref, hidden, jnp.arange(5))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-3, rtol=2e-3
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="lm_bits"):
+        quantize_decoder_params(params, bits=8, lm_bits=3)
+
+
 def test_quant_bits_detection():
     from qwen3_asr_rs_tpu.weights.quantize import quant_bits
 

@@ -233,3 +233,13 @@ def test_segmented_encode_admission_matches_offline_engine(rng):
 
     offline = eng.transcribe_samples(samples)
     assert req.result.raw_output == offline.raw_output
+
+
+def test_slab_headroom_scales_with_segment_steps(rng):
+    """s_max headroom must cover pipelining overshoot for ANY
+    segment_steps, not just the default 8 (ADVICE r2)."""
+    eng, *_ = make_engine(max_new=4)
+    small = ContinuousBatcher(eng, n_slots=2, segment_steps=2)
+    big = ContinuousBatcher(eng, n_slots=2, segment_steps=24)
+    assert big.s_max - big.max_new >= 24 + (small.s_max - small.max_new - 8)
+    assert small.s_max - small.max_new >= 8

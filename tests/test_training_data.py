@@ -187,32 +187,135 @@ def test_async_checkpointer_roundtrip(tmp_path):
 
 
 def test_dataset_sharding_partitions_manifest(corpus):
-    """dp-host shards see disjoint utterances whose union is the epoch."""
-
-    class Recording(AsrDataset):
-        def __init__(self, *a, **kw):
-            super().__init__(*a, **kw)
-            self.seen = []
-
-        def make_example(self, utt):
-            self.seen.append(utt.text)
-            return super().make_example(utt)
-
+    """dp-host shards: equal batch counts, trained rows disjoint, union
+    of trained rows covers the epoch (filler batches carry zero loss)."""
     kw = dict(
         tokenizer=MockTokenizer(), config=tiny_test_config(),
         chunk_buckets=(2, 4), batch_size=1, max_text_tokens=16, seed=3,
     )
-    shards = []
+    trained, counts = [], []
     for i in range(2):
-        ds = Recording(corpus, shard_index=i, num_shards=2, **kw)
-        list(ds.batches())
-        shards.append(ds.seen)
-    assert len(shards[0]) + len(shards[1]) == 5
-    assert abs(len(shards[0]) - len(shards[1])) <= 1
-    assert not (set(shards[0]) & set(shards[1]))
+        ds = AsrDataset(corpus, shard_index=i, num_shards=2, **kw)
+        batches = list(ds.batches())
+        counts.append(len(batches))
+        texts = set()
+        for b in batches:
+            for r in range(b["loss_mask"].shape[0]):
+                if b["loss_mask"][r].sum() > 0:
+                    texts.add(
+                        tuple(np.asarray(b["token_ids"][r]).tolist())
+                    )
+        trained.append(texts)
+    # LOCKSTEP: every shard yields the same number of batches
+    assert counts[0] == counts[1]
+    # trained rows are disjoint and cover all 5 utterances
+    assert not (trained[0] & trained[1])
+    assert len(trained[0]) + len(trained[1]) == 5
 
     with pytest.raises(ValueError):
         AsrDataset(corpus, shard_index=2, num_shards=2, **kw)
+
+
+def test_sharded_batches_lockstep_with_unreadable_audio(corpus, tmp_path):
+    """A mid-epoch unreadable file is substituted with a zero-loss filler,
+    never skipped — shard batch counts stay identical (multi-host dp
+    training must not desync; ADVICE r2)."""
+    kw = dict(
+        tokenizer=MockTokenizer(), config=tiny_test_config(),
+        chunk_buckets=(2, 4), batch_size=2, max_text_tokens=16, seed=0,
+    )
+    baseline = [
+        len(list(AsrDataset(corpus, shard_index=i, num_shards=2,
+                            **kw).batches()))
+        for i in range(2)
+    ]
+    assert baseline[0] == baseline[1]
+
+    # corrupt one clip AFTER the probe: buckets are cached, so the
+    # schedule is unchanged and make_example fails mid-epoch
+    counts = []
+    for i in range(2):
+        ds = AsrDataset(corpus, shard_index=i, num_shards=2, **kw)
+        for j in range(len(ds.utts)):
+            ds._bucket_of(j)  # populate the probe cache
+        victim = ds.utts[0].audio
+        data = victim.read_bytes()
+        victim.write_bytes(b"not a wav file")
+        try:
+            batches = list(ds.batches())
+        finally:
+            victim.write_bytes(data)
+        counts.append(len(batches))
+        for b in batches:  # shapes stay static even with filler rows
+            assert b["token_ids"].shape[0] == 2
+    assert counts == baseline
+
+
+def test_sharded_batches_use_manifest_duration(corpus, monkeypatch):
+    """With 'duration' in the manifest the scheduler never probes audio."""
+    rows = [json.loads(l) for l in corpus.read_text().splitlines()]
+    lens = [8000, 16000, 9000, 24000, 7000]
+    for r, n in zip(rows, lens):
+        r["duration"] = n / 16000
+    corpus.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    ds = AsrDataset(
+        corpus, MockTokenizer(), config=tiny_test_config(),
+        chunk_buckets=(2, 4), batch_size=2, max_text_tokens=16,
+        shard_index=0, num_shards=2,
+    )
+    import qwen3_asr_rs_tpu.audio.load as load_mod
+
+    real_load = load_mod.load_audio
+    calls = []
+
+    def counting_load(*a, **k):
+        calls.append(a)
+        return real_load(*a, **k)
+
+    monkeypatch.setattr(load_mod, "load_audio", counting_load)
+    for j in range(len(ds.utts)):
+        assert ds._bucket_of(j) in (2, 4)
+    assert not calls, "duration-annotated utterances must not be probed"
+
+
+def test_async_checkpointer_steady_state_nonblocking(tmp_path):
+    """save() must not join its own write: once more than max_to_keep
+    checkpoints exist, pruning runs BEFORE dispatch and never waits on
+    the writer (ADVICE r2: every save was calling wait_until_finished)."""
+    from qwen3_asr_rs_tpu.training.checkpoint import AsyncTrainCheckpointer
+
+    cfg = tiny_test_config()
+    dec = init_decoder_params(cfg.text, dtype=jnp.float32)
+    opt = optax.sgd(1e-3)
+    state = TrainState(params=dec, opt_state=opt.init(dec),
+                       step=jnp.int32(0))
+
+    ck = AsyncTrainCheckpointer(tmp_path / "ck", max_to_keep=2)
+    waits = []
+    real_gc = ck._gc
+
+    def counting_gc():
+        # count only waits issued by _gc itself (orbax's save() may
+        # legitimately join the PREVIOUS write internally)
+        orig = ck._ckptr.wait_until_finished
+        ck._ckptr.wait_until_finished = (
+            lambda: waits.append(1) or orig()
+        )
+        try:
+            real_gc()
+        finally:
+            ck._ckptr.wait_until_finished = orig
+
+    ck._gc = counting_gc
+    for s in range(1, 7):
+        ck.save(TrainState(params=state.params, opt_state=state.opt_state,
+                           step=jnp.int32(s)))
+    assert not waits, "steady-state save() joined the async writer"
+    ck.wait()
+    kept = sorted(p.name for p in (tmp_path / "ck").glob("step_*"))
+    assert kept == ["step_00000005", "step_00000006"]
+    ck.close()
 
 
 def test_async_checkpointer_best_k(tmp_path):
