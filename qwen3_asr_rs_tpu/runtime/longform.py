@@ -16,11 +16,40 @@ boundary quality.
 from __future__ import annotations
 
 import logging
+import re
 from typing import Optional
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+# Scripts written without inter-word spaces (CJK + fullwidth forms).
+# str.split() on such text yields one giant "word" per segment, so no
+# join is ever found and the overlap DUPLICATES (the reference's sample3
+# fixture is Chinese — /root/reference/test_audio/sample3.txt); these
+# characters therefore become single-character join units instead.
+_CJK_RANGES = (
+    "ᄀ-ᇿ"   # Hangul Jamo
+    "⺀-〿"   # CJK radicals, Kangxi, CJK symbols & punctuation
+    "぀-ヿ"   # Hiragana, Katakana
+    "㄰-㆏"   # Hangul compatibility Jamo
+    "ㇰ-ㇿ"   # Katakana phonetic extensions
+    "㐀-䶿"   # CJK extension A
+    "一-鿿"   # CJK unified ideographs
+    "가-힯"   # Hangul syllables
+    "豈-﫿"   # CJK compatibility ideographs
+    "＀-･"   # fullwidth forms incl. ，！？
+)
+_CJK_RE = re.compile(f"[{_CJK_RANGES}]")
+# a unit is one CJK character OR a maximal run of non-space non-CJK text
+_UNIT_RE = re.compile(f"[{_CJK_RANGES}]|[^\\s{_CJK_RANGES}]+")
+
+
+def _split_units(text: str) -> list[tuple[str, int]]:
+    """(unit, start_char_offset) list: CJK chars are single units,
+    everything else splits on whitespace. Mixed-script text yields mixed
+    units, so joins work across e.g. Chinese with Latin names inline."""
+    return [(m.group(), m.start()) for m in _UNIT_RE.finditer(text)]
 
 
 def best_join(prev_words: list[str], next_words: list[str],
@@ -57,17 +86,43 @@ def best_join(prev_words: list[str], next_words: list[str],
 
 
 def stitch(transcripts: list[str]) -> str:
-    """Merge overlapped segment transcripts into one."""
-    if not transcripts:
-        return ""
-    merged = transcripts[0].split()
-    for nxt in transcripts[1:]:
-        nxt_words = nxt.split()
-        drop_prev, drop_next = best_join(merged, nxt_words)
+    """Merge overlapped segment transcripts into one.
+
+    Join units are whitespace words for spaced scripts and single
+    characters for CJK (see _split_units), and the merge cuts the
+    ORIGINAL strings at unit offsets, so the surviving text keeps its
+    exact spacing (e.g. Chinese with spaced Latin names inline).
+    """
+    merged = ""
+    for nxt in transcripts:
+        if not merged:
+            merged = nxt
+            continue
+        if not nxt:
+            continue
+        pu = _split_units(merged)
+        nu = _split_units(nxt)
+        drop_prev, drop_next = best_join(
+            [u for u, _ in pu], [u for u, _ in nu]
+        )
         if drop_prev:
-            merged = merged[:-drop_prev]
-        merged.extend(nxt_words[drop_next:])
-    return " ".join(merged)
+            # cut both strings at the matched overlap: drop the match
+            # (and trailing garble) from prev, keep it from next
+            cut = pu[len(pu) - drop_prev][1]
+            start = nu[drop_next][1] if drop_next < len(nu) else len(nxt)
+            merged = merged[:cut] + nxt[start:]
+        else:
+            # no credible overlap: append, with a space only where the
+            # boundary scripts use one
+            lead = nxt.lstrip()
+            sep = (
+                ""
+                if (merged[-1].isspace() or nxt[0].isspace()
+                    or _CJK_RE.match(merged[-1]) or _CJK_RE.match(lead[:1]))
+                else " "
+            )
+            merged = merged + sep + nxt
+    return merged
 
 
 def transcribe_long(

@@ -50,3 +50,48 @@ def test_engine_longform_overlap(rng, tmp_path):
     # segments: starts at 0, 7, 14 (8s window, 1s overlap)
     assert result.raw_output.count("\n") == 2
     assert isinstance(result.text, str)
+
+
+def test_stitch_chinese_overlap_not_duplicated():
+    """CJK text has no spaces: units are characters, so the overlap
+    region appears exactly once (round-2 bug: str.split() made each
+    segment one giant 'word' and the overlap text duplicated)."""
+    segs = [
+        "你好，这是语音合成系统",
+        "语音合成系统的持续集成测试。",
+    ]
+    out = stitch(segs)
+    assert out == "你好，这是语音合成系统的持续集成测试。"
+    assert out.count("语音合成系统") == 1
+
+
+def test_stitch_mixed_cjk_latin_preserves_spacing():
+    """Chinese with a spaced Latin name inline: the join crosses both
+    scripts and the surviving text keeps its original spacing."""
+    segs = [
+        "你好，这是 Qwen3 语音合成",
+        "Qwen3 语音合成系统的测试。",
+    ]
+    out = stitch(segs)
+    assert out == "你好，这是 Qwen3 语音合成系统的测试。"
+    assert out.count("Qwen3") == 1
+
+
+def test_stitch_cjk_no_overlap_appends_without_space():
+    assert stitch(["你好。", "世界。"]) == "你好。世界。"
+    # spaced scripts still get the separating space
+    assert stitch(["hello there", "general kenobi"]) == (
+        "hello there general kenobi"
+    )
+
+
+def test_stitch_cjk_boundary_garble():
+    """Garbled outermost characters at segment boundaries still join on
+    the inner common run."""
+    segs = [
+        "今天天气很好我们去公园玩耍x",
+        "y去公园玩耍然后回家吃饭",
+    ]
+    out = stitch(segs)
+    assert out.count("去公园玩耍") == 1
+    assert out.endswith("然后回家吃饭")
