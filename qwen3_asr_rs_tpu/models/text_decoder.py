@@ -142,10 +142,22 @@ def _linear(tree: PyTree, name: str, x):
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
         return (y * tree[f"{name}_s"].astype(jnp.float32)).astype(x.dtype)
     if f"{name}_q4" in tree:
+        p4 = tree[f"{name}_q4"]
+        if p4.ndim == 3:
+            # blocked tensor-parallel layout (K, blocks, half_b): every
+            # unpack op is block-local, so GSPMD shards the dequant over
+            # tp with the block dim (quantize_weight_int4 blocks>1)
+            from ..ops.pallas.quant_matmul import unpack_int4_blocked
+
+            w = unpack_int4_blocked(p4, x.dtype)
+            y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+            return (
+                y * tree[f"{name}_s"].astype(jnp.float32)
+            ).astype(x.dtype)
         # nibble-packed int4: two half-width dots on the sign-extended
         # nibbles, concatenated along the output dim (packing pairs
         # column j with column j + N/2, so order is preserved)
-        p = tree[f"{name}_q4"].astype(jnp.int32)
+        p = p4.astype(jnp.int32)
         lo = ((p << 28) >> 28).astype(x.dtype)
         hi = (p >> 4).astype(x.dtype)
         y = jnp.concatenate(
@@ -532,7 +544,7 @@ class TextDecoder:
             cos, sin = c[:, None, :], s[:, None, :]  # (B, 1, D)
         # stale-slab validity: slots [0, pos) hold earlier tokens
         kv_valid = jnp.broadcast_to(pos, (b,)).astype(jnp.int32)
-        if self._use_fused_step(params, b, pos, cache):
+        if nt := self._use_fused_step(params, b, pos, cache):
             from ..ops.pallas.decode_layer import decode_layers_fused
 
             cos_b = jnp.broadcast_to(cos, (b, cos.shape[-1]))
@@ -543,6 +555,7 @@ class TextDecoder:
                 eps=self.cfg.rms_norm_eps,
                 interpret=_interpret_pallas(),
                 k_scales=cache.k_scale, v_scales=cache.v_scale,
+                ffn_tiles=nt,
             )
             hidden = h2[:, None, :]
         else:
@@ -597,22 +610,32 @@ class TextDecoder:
             )
         return KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)
 
-    def _fused_step_vmem_ok(self, params, b: int, cache: KVCache,
-                            fold_lm: bool = False) -> bool:
-        """Whether the decode megakernel's blocks fit its VMEM budget.
+    def _fused_step_tiles(self, params, b: int, cache: KVCache,
+                          fold_lm: bool = False) -> int:
+        """Smallest ffn_tiles whose megakernel blocks fit the VMEM budget.
 
+        Returns 0 when no tiling fits (scan fallback), 1 for the whole-
+        layer kernel, or 2/4/8 for layer-split FFN streaming (1.7B bf16:
+        ~100 MB/layer exceeds the budget whole, tiles of inter/4 fit).
         Pallas double-buffers every per-layer weight block, the manual
         attention DMA uses a double-buffered (2, B, BS, Hkv, D) scratch
         pair (the slab itself stays in HBM), and lm-head folding adds a
-        double-buffered vocab tile. If the total exceeds the kernel's
-        vmem_limit_bytes Mosaic compilation would fail at runtime — fall
-        back to the scan path instead.
+        double-buffered vocab tile. If the total exceeded the kernel's
+        vmem_limit_bytes Mosaic compilation would fail at runtime.
+        Split mode requires unmerged non-int4 params (see
+        decode_layers_fused); ASR_FFN_TILES forces a specific value.
         """
+        import os
+
         from ..ops.pallas.decode_layer import LM_TILE, VMEM_LIMIT_BYTES
 
         cfg = self.cfg
         layers = params["layers"]
-        if "q_w_q4" in layers or "qkv_w_q4" in layers:
+        int4 = "q_w_q4" in layers or "qkv_w_q4" in layers
+        if int4 and layers.get("q_w_q4", layers.get("qkv_w_q4")).ndim == 4:
+            return 0  # blocked tp layout: megakernel unpack assumes N/2 pairs
+        merged = "qkv_w_q" in layers or "qkv_w_q4" in layers
+        if int4:
             wbytes = 0.5  # two weights per int8 byte
         elif "q_w_q" in layers or "qkv_w_q" in layers:
             wbytes = 1
@@ -622,13 +645,12 @@ class TextDecoder:
         nq_d = cfg.num_attention_heads * d
         nkv_d = cfg.num_key_value_heads * d
         inter = cfg.intermediate_size
-        w_elems = (
+        attn_w_elems = (
             h * nq_d            # q_w
             + 2 * h * nkv_d     # k_w, v_w
             + nq_d * h          # o_w
-            + 2 * h * inter     # gate_w, up_w
-            + inter * h         # down_w
         )
+        ffn_w_elems = 3 * h * inter  # gate_w, up_w, down_w
         slab_bytes = jnp.dtype(cache.k.dtype).itemsize
         block_s = min(512 if b == 1 else 128, cache.max_len)
         attn_bufs = (
@@ -640,7 +662,6 @@ class TextDecoder:
                 2 * 2 * b * cfg.num_key_value_heads * cache.max_len * 4
             )
         kv_out_bytes = 2 * b * nkv_d * slab_bytes
-        per_layer = w_elems * wbytes + kv_out_bytes
         lm_bufs = 0
         if fold_lm:
             if "lm_head_q" in params:
@@ -651,32 +672,52 @@ class TextDecoder:
                 lm_bytes = 2
             lm_bufs = 2 * (h * LM_TILE * lm_bytes + 8 * LM_TILE * 4)
         const = (
-            max(8, b) * h * 4            # f32 hidden scratch
+            2 * max(8, b) * h * 4        # f32 hidden + ffn-acc scratch
             + 2 * max(8, b) * 128 * 4    # argmax scratch
             + b * (h + 2 * d) * wbytes   # x, cos, sin blocks
             + 2 * 8 * max(nq_d, inter, h) * 4  # packed norms + scales
         )
-        total = 2 * per_layer + attn_bufs + lm_bufs + const
-        return total <= VMEM_LIMIT_BYTES
+        forced = int(os.environ.get("ASR_FFN_TILES", "0"))
+        if forced:
+            # trust the override (tile alignment is still enforced by
+            # decode_layers_fused itself)
+            if forced > 1 and (merged or int4 or inter % forced):
+                return 0
+            return forced
+        for nt in (1, 2, 4, 8):
+            if nt > 1:
+                if merged or int4:
+                    break  # split needs unmerged non-int4 params
+                if inter % nt or (inter // nt) % 128:
+                    continue
+            per_layer = (
+                (attn_w_elems + ffn_w_elems // nt) * wbytes + kv_out_bytes
+            )
+            total = 2 * per_layer + attn_bufs + lm_bufs + const
+            if total <= VMEM_LIMIT_BYTES:
+                return nt
+        return 0
 
     def _use_fused_step(self, params, b: int, pos, cache: KVCache,
-                        fold_lm: bool = False) -> bool:
-        """Whether the single-pallas-call decode megakernel applies.
+                        fold_lm: bool = False) -> int:
+        """ffn_tiles for the single-pallas-call decode megakernel, 0 = no.
 
         Eligibility: shared scalar write slot, stacked (possibly int8)
         weights, no attention biases, and a slab whose double-buffered
-        blocks fit the kernel's VMEM budget (_fused_step_vmem_ok).
+        blocks fit the kernel's VMEM budget (_fused_step_tiles; a
+        return of 2/4/8 selects layer-split FFN streaming for models
+        too large to hold a whole layer in VMEM).
         ASR_DECODE_IMPL=scan|fused overrides 'auto'.
         """
         import os
 
         impl = os.environ.get("ASR_DECODE_IMPL", "auto")
         if impl == "scan":
-            return False
+            return 0
         if fold_lm and "lm_head_q4" in params:
             # the folded lm tiles read int8/bf16; int4 lm_head goes
             # through quant_matvec_int4 instead
-            return False
+            return 0
         eligible = (
             jnp.ndim(pos) == 0  # shared write slot (B=1 or aligned batch)
             and any(
@@ -684,19 +725,23 @@ class TextDecoder:
                 for n in ("q_w", "q_w_q", "q_w_q4", "qkv_w_q", "qkv_w_q4")
             )
             and "q_b" not in params["layers"]
-            and self._fused_step_vmem_ok(params, b, cache, fold_lm)
+        )
+        nt = (
+            self._fused_step_tiles(params, b, cache, fold_lm)
+            if eligible else 0
         )
         if impl == "fused":
-            return eligible
+            return nt
         # auto: only on TPU, and only for lane-aligned head dims — Mosaic
         # cannot shape-cast the in-kernel (B, H*D) -> (B*H, D) reshape when
         # D < 128 (found driving the CLI with a tiny test model on chip)
-        return (
-            eligible
-            and not self.prefer_xla
-            and self.cfg.head_dim % 128 == 0
-            and jax.default_backend() in ("tpu", "axon")
-        )
+        if (
+            self.prefer_xla
+            or self.cfg.head_dim % 128 != 0
+            or jax.default_backend() not in ("tpu", "axon")
+        ):
+            return 0
+        return nt
 
     def decode_step_token(
         self,
@@ -720,8 +765,8 @@ class TextDecoder:
         import os
 
         b = token_ids.shape[0]
-        if os.environ.get("ASR_FOLD_LM") == "1" and self._use_fused_step(
-            params, b, pos, cache, fold_lm=True
+        if os.environ.get("ASR_FOLD_LM") == "1" and (
+            nt := self._use_fused_step(params, b, pos, cache, fold_lm=True)
         ):
             from ..ops.pallas.decode_layer import decode_layers_fused
 
@@ -739,6 +784,7 @@ class TextDecoder:
                 lm_head=params.get("lm_head", params.get("lm_head_q")),
                 lm_scales=params.get("lm_head_s"),
                 k_scales=cache.k_scale, v_scales=cache.v_scale,
+                ffn_tiles=nt,
             )
             cache = self._write_fresh(cache, ks, vs, pos)
             return tok, cache
@@ -757,8 +803,8 @@ class TextDecoder:
         import os
 
         b = token_ids.shape[0]
-        if os.environ.get("ASR_FOLD_LM") == "1" and self._use_fused_step(
-            params, b, slot, cache, fold_lm=True
+        if os.environ.get("ASR_FOLD_LM") == "1" and (
+            nt := self._use_fused_step(params, b, slot, cache, fold_lm=True)
         ):
             from ..ops.pallas.decode_layer import decode_layers_fused
 
@@ -776,6 +822,7 @@ class TextDecoder:
                 lm_head=params.get("lm_head", params.get("lm_head_q")),
                 lm_scales=params.get("lm_head_s"),
                 k_scales=cache.k_scale, v_scales=cache.v_scale,
+                ffn_tiles=nt,
             )
             cache = self._write_fresh(cache, ks, vs, slot)
             return tok, cache
@@ -1039,7 +1086,7 @@ class TextDecoder:
         cos, sin = self.rotary.lookup_batch(positions)
 
         b_arr = jnp.broadcast_to(slot, (b,)).astype(jnp.int32)
-        if self._use_fused_step(params, b, slot, cache):
+        if nt := self._use_fused_step(params, b, slot, cache):
             from ..ops.pallas.decode_layer import decode_layers_fused
 
             h2, ks, vs = decode_layers_fused(
@@ -1048,6 +1095,7 @@ class TextDecoder:
                 eps=self.cfg.rms_norm_eps,
                 interpret=_interpret_pallas(),
                 k_scales=cache.k_scale, v_scales=cache.v_scale,
+                ffn_tiles=nt,
             )
             hidden = h2[:, None, :]
         else:

@@ -8,6 +8,16 @@ final-norm + lm_head + argmax — in a single pallas_call:
     double-buffers the next layer's weight blocks (~30 MB/layer) behind
     the current layer's compute — a hardware prefetch the op-by-op path
     cannot express;
+  * LAYER-SPLIT mode (ffn_tiles > 1): models whose per-layer weights
+    exceed the VMEM budget (1.7B bf16: ~100 MB/layer) stream each layer
+    in sub-steps — grid (num_layers * (1 + ffn_tiles)): sub-step 0 runs
+    attention (q/k/v/o blocks whole), sub-steps 1..T each fetch a
+    column tile of gate/up and the matching row tile of down and
+    accumulate (silu(x@Wg_t) * (x@Wu_t)) @ Wd_t into an f32 scratch —
+    FFN tiling along the intermediate dim is exact (columns of gate/up
+    and rows of down pair one-to-one), so only dot-split reassociation
+    (~1 ulp f32) differs from the unsplit kernel. Weights still stream
+    ONCE per token at full pipeline overlap;
   * the K/V slab rides the same pipeline as a per-layer resident block
     when it fits the VMEM budget (small slabs: fully overlapped with
     compute, measured fastest), and otherwise STAYS IN HBM
@@ -49,7 +59,7 @@ INT_MAX = 2**31 - 1
 
 # The kernel's VMEM ceiling: ~30 MB of weights per layer double-buffered
 # by the pipeline, plus the attention DMA buffers and (optionally) the
-# lm_head tile buffers. Dispatch (TextDecoder._fused_step_vmem_ok) checks
+# lm_head tile buffers. Dispatch (TextDecoder._fused_step_tiles) checks
 # a block-footprint estimate against this before choosing the kernel.
 VMEM_LIMIT_BYTES = 120 * 1024 * 1024
 
@@ -139,6 +149,8 @@ def _kernel(
     int4: bool,
     merged: bool,
     kv_quant: bool,
+    ffn_tiles: int,
+    quantized: bool,
 ):
     if merged:
         (qkv_w_ref, o_w_ref, gateup_w_ref, down_w_ref,
@@ -151,9 +163,12 @@ def _kernel(
         ks_ref, vs_ref, *rest = rest  # (1, B, Hkv, S) f32 slab scales
     (lm_w_ref, lm_s_ref,
      h_out_ref, tok_out_ref, k_out_ref, v_out_ref,
-     h_scr, k_buf, v_buf, sems, best_val, best_idx) = rest
+     h_scr, acc_scr, k_buf, v_buf, sems, best_val, best_idx) = rest
 
-    l = pl.program_id(0)
+    step = pl.program_id(0)
+    ss = (ffn_tiles + 1) if ffn_tiles > 1 else 1  # sub-steps per layer
+    l = step // ss if ffn_tiles > 1 else step
+    sub = step % ss if ffn_tiles > 1 else None
     nl = num_layers
     hq = hkv * groups
     d = head_dim
@@ -161,7 +176,7 @@ def _kernel(
     b = batch
     mult = 2 if int4 else 1
 
-    @pl.when(l == 0)
+    @pl.when(step == 0)
     def _init():
         h_scr[:b] = x_ref[:].astype(jnp.float32)
         if fold_lm:
@@ -209,13 +224,18 @@ def _kernel(
             sems.at[slot, sem_col],
         )
 
+    is_attn = (
+        l < nl if ffn_tiles == 1
+        else jnp.logical_and(l < nl, sub == 0)
+    )
+
     if not resident:
-        @pl.when(jnp.logical_and(l < nl, n_blocks > 0))
+        @pl.when(jnp.logical_and(is_attn, n_blocks > 0))
         def _start_first():
             dma(0, 0, k_buf, k_hbm, 0).start()
             dma(0, 0, v_buf, v_hbm, 1).start()
 
-    @pl.when(l < nl)
+    @pl.when(is_attn)
     def _layer():
         # ---- attention block
         xn = _rms_norm(h, norms_ref[0, 0][None, :], eps).astype(cdt)
@@ -260,6 +280,11 @@ def _kernel(
         v_out_ref[0] = v.reshape(b, hkv, d).astype(v_out_ref.dtype)
 
         def _mlp_and_store(h2):
+            if ffn_tiles > 1:
+                # split mode: persist h2; FFN runs in the tile sub-steps
+                h_scr[:b] = h2
+                acc_scr[:b] = jnp.zeros_like(acc_scr[:b])
+                return
             xn2 = _rms_norm(h2, norms_ref[0, 1][None, :], eps).astype(cdt)
             if merged:
                 gu = _mm(
@@ -465,12 +490,49 @@ def _kernel(
         h2 = (h.astype(cdt) + o).astype(jnp.float32)
         _mlp_and_store(h2)
 
+    if ffn_tiles > 1:
+        @pl.when(jnp.logical_and(l < nl, sub > 0))
+        def _ffn_tile():
+            # one intermediate-dim tile of the FFN: gate/up column tiles
+            # and the matching down row tile; exact split of the unsplit
+            # dots (f32 partial sums accumulate in scratch, rounded to
+            # cdt ONCE at the last tile — mirrors the one-dot rounding)
+            t = sub - 1
+            tn = gate_w_ref.shape[-1]  # tile width (no int4 in split mode)
+            h2 = h_scr[:b]
+            xn2 = _rms_norm(h2, norms_ref[0, 1][None, :], eps).astype(cdt)
+            if quantized:
+                g_s = scales_ref[0, 4, pl.ds(t * tn, tn)][None, :]
+                u_s = scales_ref[0, 5, pl.ds(t * tn, tn)][None, :]
+                d_s = sc(6, h_dim)
+            else:
+                g_s = u_s = d_s = 1.0
+            gate = _mm(xn2, gate_w_ref[0], g_s, cdt).astype(cdt)
+            up = _mm(xn2, up_w_ref[0], u_s, cdt).astype(cdt)
+            gate = (
+                gate.astype(jnp.float32)
+                * jax.nn.sigmoid(gate.astype(jnp.float32))
+            ).astype(cdt)
+            partial = _mm(gate * up, down_w_ref[0], d_s, cdt)  # f32 (B, H)
+            acc_scr[:b] = acc_scr[:b] + partial
+
+            @pl.when(sub == ss - 1)
+            def _finish_layer():
+                h3 = (
+                    h2.astype(cdt) + acc_scr[:b].astype(cdt)
+                ).astype(jnp.float32)
+                h_scr[:b] = h3
+
+                @pl.when(l == nl - 1)
+                def _finish():
+                    h_out_ref[:] = h3.astype(h_out_ref.dtype)
+
     if fold_lm:
         @pl.when(l >= nl)
         def _lm_tile():
             # final RMSNorm (row 4 of the packed norms) + one vocab tile of
             # the lm head; running first-max argmax across tiles.
-            j = l - nl
+            j = step - nl * ss
             lm_tile = lm_w_ref.shape[-1]
             xn = _rms_norm(h, norms_ref[0, 4][None, :], eps).astype(cdt)
             logits = _mm(
@@ -487,7 +549,7 @@ def _kernel(
             best_idx[:b, :1] = jnp.where(better, arg_t, best_idx[:b, :1])
             best_val[:b, :1] = jnp.where(better, m_t, best_val[:b, :1])
 
-            @pl.when(l == pl.num_programs(0) - 1)
+            @pl.when(step == pl.num_programs(0) - 1)
             def _emit():
                 tok_out_ref[:] = jnp.broadcast_to(
                     best_idx[:b, :1], tok_out_ref.shape
@@ -513,7 +575,7 @@ def _pack_aux(layers, names, rows, quantized, nl, h_dim, d, max_n):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "interpret", "fold_lm"),
+    static_argnames=("eps", "interpret", "fold_lm", "ffn_tiles"),
 )
 def decode_layers_fused(
     x,        # (B, H) current hidden (embedded tokens)
@@ -533,6 +595,7 @@ def decode_layers_fused(
     lm_scales=None,
     k_scales=None,     # (L, B, Hkv, S) f32 — int8-KV slab scales
     v_scales=None,
+    ffn_tiles: int = 1,
 ):
     """Run all decoder layers for one token per example.
 
@@ -541,6 +604,13 @@ def decode_layers_fused(
     is argmax over the folded final-norm + lm_head logits.
     ``layers`` may hold bf16/f32 weights (``q_w`` ...) or int8 weight-only
     quantized pairs (``q_w_q`` + ``q_w_s`` from weights/quantize.py).
+
+    ``ffn_tiles > 1`` enables layer-split streaming for models whose
+    per-layer weights exceed the VMEM budget (1.7B bf16): the FFN is
+    tiled along the intermediate dim into that many sub-steps. Requires
+    unmerged, non-int4 layer params (int4's column-pair nibble packing
+    does not commute with column tiling; merged gate|up columns are not
+    tile-contiguous).
     """
     nl, b, hkv, s_max, d = k_slabs.shape
     h_dim = x.shape[-1]
@@ -549,6 +619,10 @@ def decode_layers_fused(
     quantized = "q_w_q" in layers or "qkv_w_q" in layers
     int4 = "q_w_q4" in layers or "qkv_w_q4" in layers
     mult = 2 if int4 else 1
+    if ffn_tiles > 1 and (merged or int4):
+        raise ValueError(
+            "ffn_tiles > 1 requires unmerged, non-int4 layer params"
+        )
 
     if merged:
         names = ("qkv_w", "o_w", "gateup_w", "down_w")
@@ -610,7 +684,18 @@ def decode_layers_fused(
     start = jnp.broadcast_to(start, (b,)).astype(jnp.int32)
     end = jnp.broadcast_to(end, (b,)).astype(jnp.int32)
 
-    grid = nl + n_lm_tiles
+    ss = (ffn_tiles + 1) if ffn_tiles > 1 else 1
+    if ffn_tiles > 1:
+        # Mosaic needs lane-aligned tiles; interpret mode (parity tests
+        # at miniature shapes) only needs an even split
+        if inter % ffn_tiles or (
+            not interpret and (inter // ffn_tiles) % 128
+        ):
+            raise ValueError(
+                f"ffn_tiles={ffn_tiles} must divide intermediate size "
+                f"{inter} into 128-aligned tiles"
+            )
+    grid = nl * ss + n_lm_tiles
     block_s = min(512 if b == 1 else 128, s_max)
 
     # Slab mode (static): resident pipelined blocks when they fit the
@@ -622,6 +707,13 @@ def decode_layers_fused(
         int(_np.prod(w.shape[1:])) * w.dtype.itemsize
         for w in weights.values()
     )
+    if ffn_tiles > 1:
+        # gate/up/down stream in 1/ffn_tiles-wide blocks
+        ffn_bytes = sum(
+            int(_np.prod(weights[n].shape[1:])) * weights[n].dtype.itemsize
+            for n in ("gate_w", "up_w", "down_w")
+        )
+        w_block_bytes -= ffn_bytes - ffn_bytes // ffn_tiles
     slab_block_bytes = (
         2 * 2 * b * s_max * hkv * d * jnp.dtype(k_slabs.dtype).itemsize
     )
@@ -645,25 +737,46 @@ def decode_layers_fused(
     elif mode == "dma":
         resident = False
 
-    def const_idx(l, *_):
-        return (0, 0)
-
-    def lay3(l, *_):
+    def l_of(s):
         # clamp to the last layer during lm-tile steps (same index ->
         # Pallas re-addresses the resident block, no refetch)
-        return (jnp.minimum(l, nl - 1), 0, 0)
+        return jnp.minimum(s // ss, nl - 1) if ss > 1 else jnp.minimum(
+            s, nl - 1
+        )
 
-    def lay_slab(l, *_):
-        return (jnp.minimum(l, nl - 1), 0, 0, 0, 0)
+    def t_of(s):
+        # FFN tile consumed at sub-step t+1; index t at sub 0 so the
+        # first tile prefetches during the attention sub-step. Clamp to
+        # the last tile during lm steps (no refetch).
+        return jnp.where(
+            s >= nl * ss,
+            ffn_tiles - 1,
+            jnp.clip(s % ss - 1, 0, ffn_tiles - 1),
+        )
 
-    def lay_kvs(l, *_):
-        return (jnp.minimum(l, nl - 1), 0, 0, 0)
+    def const_idx(s, *_):
+        return (0, 0)
 
-    def lm_idx(l, *_):
-        return (0, jnp.maximum(l - nl, 0))
+    def lay3(s, *_):
+        return (l_of(s), 0, 0)
 
-    def kv_out_idx(l, *_):
-        return (jnp.minimum(l, nl - 1), 0, 0, 0)
+    def gu_idx(s, *_):
+        return (l_of(s), 0, t_of(s))
+
+    def down_idx(s, *_):
+        return (l_of(s), t_of(s), 0)
+
+    def lay_slab(s, *_):
+        return (l_of(s), 0, 0, 0, 0)
+
+    def lay_kvs(s, *_):
+        return (l_of(s), 0, 0, 0)
+
+    def lm_idx(s, *_):
+        return (0, jnp.maximum(s - nl * ss, 0))
+
+    def kv_out_idx(s, *_):
+        return (l_of(s), 0, 0, 0)
 
     if resident:
         slab_specs = [
@@ -693,14 +806,15 @@ def decode_layers_fused(
             pl.BlockSpec((1, inter, h_dim // mult), lay3),       # down_w
         ]
     else:
+        tn = inter // ffn_tiles  # mult == 1 whenever ffn_tiles > 1
         weight_specs = [
             pl.BlockSpec((1, h_dim, nq_d // mult), lay3),    # q_w
             pl.BlockSpec((1, h_dim, nkv_d // mult), lay3),   # k_w
             pl.BlockSpec((1, h_dim, nkv_d // mult), lay3),   # v_w
             pl.BlockSpec((1, nq_d, h_dim // mult), lay3),    # o_w
-            pl.BlockSpec((1, h_dim, inter // mult), lay3),   # gate_w
-            pl.BlockSpec((1, h_dim, inter // mult), lay3),   # up_w
-            pl.BlockSpec((1, inter, h_dim // mult), lay3),   # down_w
+            pl.BlockSpec((1, h_dim, tn // mult), gu_idx),    # gate_w
+            pl.BlockSpec((1, h_dim, tn // mult), gu_idx),    # up_w
+            pl.BlockSpec((1, tn, h_dim // mult), down_idx),  # down_w
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -734,6 +848,7 @@ def decode_layers_fused(
         ),
         scratch_shapes=[
             pltpu.VMEM((max(8, b), h_dim), jnp.float32),
+            pltpu.VMEM((max(8, b), h_dim), jnp.float32),  # ffn acc
             *dma_scratch,
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.VMEM((max(8, b), 128), jnp.float32),
@@ -757,6 +872,8 @@ def decode_layers_fused(
         int4=int4,
         merged=merged,
         kv_quant=kv_quant,
+        ffn_tiles=ffn_tiles,
+        quantized=quantized,
     )
 
     h_out, tok_out, ks, vs = pl.pallas_call(

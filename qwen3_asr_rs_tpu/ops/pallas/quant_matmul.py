@@ -117,22 +117,38 @@ def dequantize(w_q, scales):
 # ---------------------------------------------------------------------- #
 
 
-def quantize_weight_int4(w, axis: int = 0):
+def quantize_weight_int4(w, axis: int = 0, blocks: int = 1):
     """Per-output-channel symmetric int4 quantization of (K, N) weights.
 
     Returns (packed int8 (K, N//2), scales f32 (N,)). Values are clipped
     to [-7, 7] (symmetric; -8 unused). N must be even.
+
+    ``blocks > 1`` packs nibbles WITHIN each of ``blocks`` contiguous
+    column blocks (col j pairs with j + N/(2*blocks) inside its block)
+    and returns packed shape (K, blocks, N // (2*blocks)) with the block
+    dim explicit. This is the tensor-parallel layout: sharding the block
+    dim over tp gives every shard a self-contained packing whose unpack
+    (unpack_int4_blocked) is entirely shard-local, so GSPMD partitions
+    the dequant with no cross-device shuffles — plain (j, j + N/2)
+    pairing does NOT commute with column sharding.
     """
     wf = jnp.asarray(w, jnp.float32)
     absmax = jnp.max(jnp.abs(wf), axis=axis)  # (N,)
     scales = jnp.maximum(absmax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wf / scales[None, :]), -7, 7).astype(jnp.int8)
-    n = q.shape[1]
-    if n % 2:
-        raise ValueError(f"int4 packing needs an even output dim, got {n}")
-    lo, hi = q[:, : n // 2], q[:, n // 2 :]
-    packed = ((lo & jnp.int8(0xF)) | (hi << 4)).astype(jnp.int8)
-    return packed, scales
+    k, n = q.shape
+    if n % (2 * blocks):
+        raise ValueError(
+            f"int4 packing needs output dim divisible by 2*blocks "
+            f"({2 * blocks}), got {n}"
+        )
+    if blocks == 1:
+        lo, hi = q[:, : n // 2], q[:, n // 2 :]
+        packed = ((lo & jnp.int8(0xF)) | (hi << 4)).astype(jnp.int8)
+        return packed, scales
+    qb = q.reshape(k, blocks, 2, n // (2 * blocks))
+    packed = ((qb[:, :, 0] & jnp.int8(0xF)) | (qb[:, :, 1] << 4))
+    return packed.astype(jnp.int8), scales
 
 
 def unpack_int4(packed, dtype=jnp.float32):
@@ -145,6 +161,21 @@ def unpack_int4(packed, dtype=jnp.float32):
     lo = (p << 28) >> 28  # low nibble, sign-extended
     hi = p >> 4           # high nibble (arithmetic shift of the byte)
     return jnp.concatenate([lo, hi], axis=-1).astype(dtype)
+
+
+def unpack_int4_blocked(packed, dtype=jnp.float32):
+    """Inverse of blocked packing: (..., blocks, half_b) -> (..., N).
+
+    Every op is local to a block, so with the block dim sharded over tp
+    each device unpacks exactly its own columns (GSPMD keeps the final
+    merge reshape shard-local: block and in-block dims merge into the
+    tp-sharded output dim).
+    """
+    p = packed.astype(jnp.int32)
+    lo = (p << 28) >> 28
+    hi = p >> 4
+    w = jnp.concatenate([lo, hi], axis=-1)  # (..., blocks, 2*half_b)
+    return w.reshape(*w.shape[:-2], -1).astype(dtype)
 
 
 # ---------------------------------------------------------------------- #

@@ -87,6 +87,41 @@ def quantized_decoder_param_specs(tp_heads_ok: bool = True) -> dict:
     }
 
 
+def int4_decoder_param_specs(tp_heads_ok: bool = True) -> dict:
+    """PartitionSpec pytree for a blocked-int4 decoder pytree.
+
+    Column-parallel weights are packed block-locally per tp shard
+    (quantize_weight_int4 tp_blocks): stored (L, K, blocks, half_b) with
+    the BLOCK dim sharded — every unpack op is shard-local, so GSPMD
+    partitions the dequant without shuffles. Row-parallel weights pack
+    along the (replicated) output dim and shard their input dim as
+    usual: (L, K, N/2) with K over tp. The lm_head is int8 (forced by
+    quantize_decoder_params under tp_blocks).
+    """
+    from ..weights.quantize import QUANT_LAYER_WEIGHTS as QUANT_LAYER_NAMES
+
+    base = decoder_param_specs(tp_heads_ok)
+    col_blk = P(None, None, "tp", None) if tp_heads_ok else P()
+    row = P(None, "tp", None) if tp_heads_ok else P()
+    col_s = P(None, "tp") if tp_heads_ok else P()
+    rep_s = P(None, None)
+    layers = {
+        k: v for k, v in base["layers"].items()
+        if k not in QUANT_LAYER_NAMES
+    }
+    for name in QUANT_LAYER_NAMES:
+        is_col = name in ("q_w", "k_w", "v_w", "gate_w", "up_w")
+        layers[f"{name}_q4"] = col_blk if is_col else row
+        layers[f"{name}_s"] = col_s if is_col else rep_s
+    return {
+        "embed": base["embed"],
+        "layers": layers,
+        "final_ln_w": base["final_ln_w"],
+        "lm_head_q": P(None, "tp"),
+        "lm_head_s": P("tp"),
+    }
+
+
 def encoder_param_specs(num_heads: int, tp_size: int) -> dict:
     """PartitionSpec pytree for the encoder; TP only if heads tile onto tp."""
     ok = tp_size > 0 and num_heads % tp_size == 0

@@ -98,25 +98,26 @@ class AsrEngine:
             logger.info("Weights loaded in %.1fs", time.monotonic() - t0)
         self.enc_params, self.dec_params = params
 
+        # A dp-only mesh replicates the weights and shard_maps the fused
+        # graph over the batch (see _graph): every single-device feature
+        # — Pallas kernels, int4/lm8 quant, int8 KV — works per shard.
+        # Only tensor parallelism (tp > 1) restricts the feature set.
+        mesh_tp = mesh.shape.get("tp", 1) if mesh is not None else 1
         if quantize in ("int8", "int4"):
             from ..weights.quantize import quantize_decoder_params
 
-            if quantize == "int4" and mesh is not None:
-                # int4's column-pair nibble packing (j, j + N/2) does not
-                # commute with Megatron column sharding: a tp shard of the
-                # packed dim unpacks to a column PERMUTATION that breaks
-                # head grouping. Pack per-shard if this is ever needed.
-                raise ValueError(
-                    "quantize='int4' is not supported under a mesh; "
-                    "use 'int8' for sharded serving"
-                )
             logger.info("Quantizing decoder weights to %s", quantize)
-            # merged qkv/gateup only off-mesh: the Megatron TP param
-            # specs shard the per-projection names
+            # merged qkv/gateup only without tp: the Megatron TP param
+            # specs shard the per-projection names. int4 under tp packs
+            # nibbles per shard BLOCK (tp_blocks) so the dequant shards
+            # cleanly; note the tp int4 path dequantizes through XLA
+            # (weights rest int4 in HBM but materialize per step), so
+            # int8 remains the recommended tp precision for speed.
             self.dec_params = quantize_decoder_params(
                 self.dec_params,
                 bits=4 if quantize == "int4" else 8,
-                merge=mesh is None,
+                merge=mesh_tp == 1,
+                tp_blocks=mesh_tp if quantize == "int4" else 1,
             )
         elif quantize == "lm8":
             # bf16 layers + int8 lm_head: the mildest quality knob —
@@ -124,9 +125,10 @@ class AsrEngine:
             # stream halves (~12% faster bf16 decode at 0.6B)
             from ..weights.quantize import quantize_lm_head_only
 
-            if mesh is not None:
+            if mesh_tp > 1:
                 raise ValueError(
-                    "quantize='lm8' is not supported under a mesh"
+                    "quantize='lm8' is not supported under tensor "
+                    "parallelism (works on dp-only meshes)"
                 )
             logger.info("Quantizing lm_head to int8 (layers stay bf16)")
             self.dec_params = quantize_lm_head_only(self.dec_params)
@@ -143,9 +145,10 @@ class AsrEngine:
         if kv_dtype in (None, "bf16"):
             self.kv_quant = False
         elif kv_dtype == "int8":
-            if mesh is not None:
+            if mesh_tp > 1:
                 raise ValueError(
-                    "kv_dtype='int8' is not supported under a mesh"
+                    "kv_dtype='int8' is not supported under tensor "
+                    "parallelism (works on dp-only meshes)"
                 )
             self.kv_quant = True
         else:
@@ -161,6 +164,7 @@ class AsrEngine:
             from ..parallel.sharding import (
                 decoder_param_specs,
                 encoder_param_specs,
+                int4_decoder_param_specs,
                 quantized_decoder_param_specs,
                 shard_params,
             )
@@ -172,11 +176,15 @@ class AsrEngine:
                     config.audio.encoder_attention_heads, tp
                 ),
             )
-            dec_specs = (
-                quantized_decoder_param_specs()
-                if quantize == "int8"
-                else decoder_param_specs()
-            )
+            if quantize == "int8":
+                dec_specs = quantized_decoder_param_specs()
+            elif quantize == "int4" and tp > 1:
+                dec_specs = int4_decoder_param_specs()
+            else:
+                # dp-only meshes replicate whatever layout is in use
+                # (incl. merged/int4/lm8 pytrees): unlisted keys
+                # default to replicated in shard_params
+                dec_specs = decoder_param_specs()
             self.dec_params = shard_params(self.dec_params, mesh, dec_specs)
             logger.info("Parameters sharded over mesh %s", dict(mesh.shape))
 
@@ -204,9 +212,11 @@ class AsrEngine:
             self.decoder_unrolled.rotary = self.decoder.rotary
         else:
             self.decoder_unrolled = self.decoder
-        if mesh is not None:
-            # Pallas kernels are single-device programs; sharded graphs
-            # take the XLA paths so GSPMD can partition them.
+        if mesh_tp > 1:
+            # Pallas kernels are single-device programs; tp-sharded
+            # graphs take the XLA paths so GSPMD can partition them.
+            # dp-only meshes keep the kernels: the fused graph runs
+            # under shard_map, one self-contained program per shard.
             self.decoder.prefer_xla = True
             self.decoder_unrolled.prefer_xla = True
         self._graphs = {}
@@ -238,12 +248,45 @@ class AsrEngine:
     # ------------------------------------------------------------------ #
     # the fused per-bucket graph (batched; single utterance is B == 1)
 
+    def _dp_size(self) -> int:
+        """dp shard count for batch-dim shard_map (1 = unsharded)."""
+        if self.mesh is None:
+            return 1
+        if self.mesh.shape.get("tp", 1) > 1:
+            return 1  # tp graphs go through GSPMD whole
+        return self.mesh.shape.get("dp", 1)
+
     def _graph(self, num_chunks: int, batch: int):
         key = (num_chunks, batch)
         if key not in self._graphs:
-            self._graphs[key] = jax.jit(
-                functools.partial(self._transcribe_graph, num_chunks)
-            )
+            dp = self._dp_size()
+            if dp > 1 and batch % dp == 0:
+                # dp-only mesh: run the fused graph under shard_map —
+                # each device gets batch/dp utterances and runs the FULL
+                # single-device program (Pallas megakernel, any quant
+                # mode, int8 KV). Weights are replicated; there are no
+                # collectives, so throughput scales linearly over ICI.
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                fn = functools.partial(
+                    self._transcribe_graph, num_chunks,
+                    force_aligned=batch > 1,
+                )
+                data = P("dp")
+                self._graphs[key] = jax.jit(
+                    shard_map(
+                        fn,
+                        mesh=self.mesh,
+                        in_specs=(P(), P(), data, data, data, data),
+                        out_specs=(data, data),
+                        check_rep=False,
+                    )
+                )
+            else:
+                self._graphs[key] = jax.jit(
+                    functools.partial(self._transcribe_graph, num_chunks)
+                )
         return self._graphs[key]
 
     def _transcribe_graph(
@@ -255,6 +298,9 @@ class AsrEngine:
         n_true_frames,   # (B,) int32
         token_ids,       # (B, P) int32, zero-padded past true_len
         true_len,        # (B,) int32
+        force_aligned: bool = False,  # static: right-aligned ids even
+        #                 at (local) B == 1 — shard_map shards a global
+        #                 aligned batch into possibly-single-row locals
     ):
         cfg = self.config
         b = wave.shape[0]
@@ -273,7 +319,7 @@ class AsrEngine:
         p = token_ids.shape[1]
         tok_embeds = self.decoder.embed(dec_params, token_ids)  # (B, P, H)
         hidden_dim = tok_embeds.shape[-1]
-        aligned = b > 1  # right-aligned layout: see prefill_aligned
+        aligned = b > 1 or force_aligned  # right-aligned: prefill_aligned
         slots = jnp.arange(p)
 
         if aligned:
@@ -459,6 +505,10 @@ class AsrEngine:
         b = 1
         while b < n_real:
             b *= 2
+        # dp shard_map needs the batch divisible by the shard count
+        dp = self._dp_size()
+        if dp > 1:
+            b = -(-b // dp) * dp
         if b > n_real:
             samples_list = list(samples_list) + [samples_list[-1]] * (
                 b - n_real

@@ -139,6 +139,20 @@ class ContinuousBatcher:
         encode_window_groups: Optional[int] = 2,
     ):
         self.engine = engine
+        # Mesh serving: the slot pool shards across the mesh — slab and
+        # slot-state arrays carry NamedShardings ('dp' on the slot dim,
+        # 'tp' on KV heads when tensor-parallel) and GSPMD partitions
+        # the segment graph, so decode throughput scales with devices.
+        # The per-request admission graphs stay replicated (one-off
+        # cost per request; decode segments dominate at occupancy).
+        self.mesh = getattr(engine, "mesh", None)
+        if self.mesh is not None and all(
+            self.mesh.shape.get(ax, 1) == 1 for ax in ("dp", "tp")
+        ):
+            self.mesh = None
+        if self.mesh is not None:
+            dp = self.mesh.shape.get("dp", 1)
+            n_slots = -(-n_slots // dp) * dp  # dp must divide the pool
         self.n_slots = n_slots
         self.segment_steps = segment_steps
         # Prompts longer than this are prefilled in chunks interleaved
@@ -175,6 +189,29 @@ class ContinuousBatcher:
         self.d_tok = jnp.zeros(n_slots, jnp.int32)
         self.d_pos = jnp.zeros(n_slots, jnp.int32)
         self.d_done = jnp.ones(n_slots, bool)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            tp_ok = (
+                cfg.text.num_key_value_heads
+                % self.mesh.shape.get("tp", 1) == 0
+            )
+            slab = NamedSharding(
+                self.mesh,
+                P(None, "dp", "tp" if tp_ok else None, None, None),
+            )
+            slot_s = NamedSharding(self.mesh, P("dp"))
+            self.cache = KVCache(
+                k=jax.device_put(self.cache.k, slab),
+                v=jax.device_put(self.cache.v, slab),
+            )
+            self.d_tok = jax.device_put(self.d_tok, slot_s)
+            self.d_pos = jax.device_put(self.d_pos, slot_s)
+            self.d_done = jax.device_put(self.d_done, slot_s)
+            logger.info(
+                "serving slot pool sharded over mesh %s (%d slots)",
+                dict(self.mesh.shape), n_slots,
+            )
         # host mirrors for scheduling decisions (lag by one segment)
         self.tok = np.zeros(n_slots, np.int32)
         self.pos = np.zeros(n_slots, np.int32)

@@ -42,11 +42,17 @@ MERGED_GROUPS = {
 }
 
 
+# output (column)-parallel linears under Megatron TP: their int4
+# packing must be block-local per tp shard (see quantize_weight_int4)
+COL_PARALLEL = ("q_w", "k_w", "v_w", "gate_w", "up_w")
+
+
 def quantize_decoder_params(
     params: PyTree,
     bits: int = 8,
     merge: bool = True,
     lm_bits: int | None = None,
+    tp_blocks: int = 1,
 ) -> PyTree:
     """Return a new decoder param pytree with int8 (or int4) linears.
 
@@ -62,9 +68,16 @@ def quantize_decoder_params(
     same math, fewer decode dots). Pass ``merge=False``
     under a TP mesh — the Megatron param specs shard the per-projection
     names. Merging is skipped automatically when projection biases exist.
+
+    ``tp_blocks > 1`` (int4 only, requires merge=False) packs the
+    column-parallel linears block-locally per tp shard so the dequant
+    shards over tp (int4_decoder_param_specs); the lm_head is forced
+    int8 (its Pallas matvec is single-device).
     """
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
+    if tp_blocks > 1 and (bits != 4 or merge):
+        raise ValueError("tp_blocks > 1 requires bits=4 and merge=False")
     layers = dict(params["layers"])
     merge = merge and not any(
         f"{n[:-2]}_b" in layers for n in QUANT_LAYER_WEIGHTS
@@ -84,7 +97,12 @@ def quantize_decoder_params(
 
     for name, w in plan.items():  # w: (L, in, out)
         if bits == 4:
-            w_q, s = jax.vmap(quantize_weight_int4)(w)
+            blocks = tp_blocks if name in COL_PARALLEL else 1
+            w_q, s = jax.vmap(
+                lambda t, blocks=blocks: quantize_weight_int4(
+                    t, blocks=blocks
+                )
+            )(w)
             layers[f"{name}_q4"] = w_q
         else:
             w_q, s = jax.vmap(quantize_weight)(w)
@@ -105,6 +123,8 @@ def quantize_decoder_params(
     lm = params["lm_head"]
     if lm_bits is None:
         lm_bits = int(os.environ.get("ASR_LM_BITS", bits))
+    if tp_blocks > 1:
+        lm_bits = 8  # the int4 lm matvec is a single-device Pallas kernel
     if lm_bits not in (4, 8):
         raise ValueError(f"lm_bits must be 4 or 8, got {lm_bits}")
     if lm_bits == 4:

@@ -129,6 +129,72 @@ def test_fused_multi_step_token_parity(rng, monkeypatch):
     assert run("fused") == run("scan")
 
 
+@pytest.mark.parametrize("tiles", [2, 4])
+def test_split_ffn_matches_whole_layer(rng, monkeypatch, tiles):
+    """Layer-split FFN streaming (ffn_tiles > 1) == scan path: the tiled
+    gate/up/down dots are an exact split of the whole-layer dots up to
+    f32 partial-sum reassociation."""
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    dec = TextDecoder(cfg, max_position=256)
+
+    cache = KVCache.zeros(cfg, 1, 64, dtype=jnp.float32)
+    cache = KVCache(
+        k=jnp.asarray(rng.standard_normal(cache.k.shape) * 0.1, jnp.float32),
+        v=jnp.asarray(rng.standard_normal(cache.v.shape) * 0.1, jnp.float32),
+    )
+    tok = jnp.asarray([42], jnp.int32)
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "scan")
+    l_scan, c_scan = dec.decode_step(params, tok, jnp.int32(37), cache)
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "fused")
+    monkeypatch.setenv("ASR_FFN_TILES", str(tiles))
+    assert dec._use_fused_step(params, 1, jnp.int32(37), cache) == tiles
+    l_split, c_split = dec.decode_step(params, tok, jnp.int32(37), cache)
+
+    np.testing.assert_allclose(
+        np.asarray(l_split), np.asarray(l_scan), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_split.k), np.asarray(c_scan.k), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_split.v), np.asarray(c_scan.v), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_split_ffn_multi_step_token_parity(rng, monkeypatch):
+    """Chained split-FFN fused steps produce the scan path's tokens,
+    including int8 quantized (unmerged) layer params."""
+    from qwen3_asr_rs_tpu.weights.quantize import quantize_decoder_params
+
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    q8 = quantize_decoder_params(params, merge=False)
+    dec = TextDecoder(cfg, max_position=256)
+
+    def run(impl, p, tiles=None, s0=13):
+        monkeypatch.setenv("ASR_DECODE_IMPL", impl)
+        if tiles is None:
+            monkeypatch.delenv("ASR_FFN_TILES", raising=False)
+        else:
+            monkeypatch.setenv("ASR_FFN_TILES", str(tiles))
+        cache = KVCache.zeros(cfg, 1, 48, dtype=jnp.float32)
+        tok = jnp.asarray([7], jnp.int32)
+        toks = []
+        for i in range(5):
+            logits, cache = dec.decode_step(
+                params if p is None else p, tok, jnp.int32(s0 + i), cache
+            )
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            toks.append(int(tok[0]))
+        return toks
+
+    assert run("fused", None, tiles=2) == run("scan", None)
+    assert run("fused", q8, tiles=2) == run("scan", q8)
+
+
 def test_fused_step_vmem_guard():
     """Megakernel dispatch must refuse configurations whose
     double-buffered blocks exceed the kernel's VMEM budget — and, since
@@ -143,19 +209,48 @@ def test_fused_step_vmem_guard():
 
     for s_max in (4833, 8833):  # 30 s and 360 s buckets
         cache = KVCache.zeros(cfg, 1, s_max, dtype=jnp.bfloat16)
-        assert dec._fused_step_vmem_ok(params, 1, cache), s_max
-        assert dec._fused_step_vmem_ok(params, 1, cache, fold_lm=True)
+        assert dec._fused_step_tiles(params, 1, cache) == 1, s_max
+        assert dec._fused_step_tiles(params, 1, cache, fold_lm=True) == 1
 
-    # an over-budget case (huge batch): guard refuses even when forced
-    big_b = KVCache.zeros(cfg, 64, 4833, dtype=jnp.bfloat16)
-    assert not dec._fused_step_vmem_ok(params, 64, big_b)
+    # an over-budget case (huge batch): guard refuses even when forced.
+    # The guard only reads shapes/dtypes, so use abstract stand-ins
+    # instead of allocating a multi-GB slab.
+    import jax
+
+    big_b = KVCache(
+        k=jax.ShapeDtypeStruct((24, 512, 8, 4833, 128), jnp.bfloat16),
+        v=jax.ShapeDtypeStruct((24, 512, 8, 4833, 128), jnp.bfloat16),
+    )
+    assert dec._fused_step_tiles(params, 512, big_b) == 0
     import os
 
     os.environ["ASR_DECODE_IMPL"] = "fused"
     try:
-        assert not dec._use_fused_step(params, 64, jnp.int32(0), big_b)
+        assert not dec._use_fused_step(params, 512, jnp.int32(0), big_b)
     finally:
         del os.environ["ASR_DECODE_IMPL"]
+
+
+def test_fused_step_tiles_17b_split():
+    """1.7B bf16 (~100 MB/layer) exceeds the whole-layer VMEM budget but
+    must select layer-split FFN streaming, not the scan fallback
+    (VERDICT r2 #1: 1.7B bf16 routed to scan at 44x)."""
+    from qwen3_asr_rs_tpu.config import synthetic_17b_config
+
+    cfg = synthetic_17b_config().text
+    dec = TextDecoder(cfg, max_position=16)
+    params = {"layers": {"q_w": jnp.zeros((1, 1), jnp.bfloat16)}}
+    cache = KVCache.zeros(cfg, 1, 704, dtype=jnp.bfloat16)
+    nt = dec._fused_step_tiles(params, 1, cache)
+    assert nt in (2, 4), nt  # split engaged, smallest fitting tiling
+
+    # int8 1.7B fits whole (50 MB/layer): no split
+    params8 = {"layers": {"q_w_q": jnp.zeros((1, 1), jnp.int8)}}
+    assert dec._fused_step_tiles(params8, 1, cache) == 1
+
+    # int4/merged params cannot split: whole-layer or nothing
+    params4 = {"layers": {"qkv_w_q4": jnp.zeros((1, 1), jnp.int8)}}
+    assert dec._fused_step_tiles(params4, 1, cache) == 1
 
 
 def test_decode_attn_threshold_scales_with_launch_cost(monkeypatch):

@@ -129,3 +129,125 @@ def test_mesh_plus_int8_matches_single_device(rng):
                      tp_divisor_of=cfg.text.num_key_value_heads)
     sharded = engine(mesh).transcribe_samples(samples)
     assert sharded.raw_output == single.raw_output
+
+
+@requires_8
+def test_dp_mesh_all_quant_modes_match_single_device(rng):
+    """dp-only mesh (no tensor parallelism): the fused graph runs under
+    shard_map — one full single-device program per shard — so EVERY
+    quant mode (int4, lm8, int8 KV) composes with the mesh (round 2
+    rejected them all). Tokens must match the unsharded engine."""
+    import dataclasses
+
+    from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+    from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
+    from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+    from test_engine_e2e import MockTokenizer
+
+    cfg = tiny_test_config()
+    text = dataclasses.replace(cfg.text, vocab_size=151936)
+    cfg = dataclasses.replace(
+        cfg,
+        thinker_config=dataclasses.replace(cfg.thinker_config,
+                                           text_config=text),
+    )
+    enc_params = init_encoder_params(cfg.audio, dtype=jnp.float32)
+    dec_params = init_decoder_params(cfg.text, dtype=jnp.float32)
+
+    def engine(mesh, **kw):
+        return AsrEngine(
+            model_dir=None, dtype=jnp.float32, max_new_tokens=3,
+            chunk_buckets=(2,), config=cfg,
+            params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+            mesh=mesh, **kw,
+        )
+
+    batch = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32)
+        for n in (20000, 9000, 16000, 12000)
+    ]
+    dp_mesh = make_mesh(n_devices=8, tp=1)  # (dp=8, tp=1)
+    assert dp_mesh.shape == {"dp": 8, "tp": 1}
+
+    for kw in ({"quantize": "int4"}, {"quantize": "lm8"},
+               {"kv_dtype": "int8"}):
+        single = engine(None, **kw).transcribe_batch(batch)
+        sharded = engine(dp_mesh, **kw).transcribe_batch(batch)
+        assert (
+            [r.raw_output for r in sharded]
+            == [r.raw_output for r in single]
+        ), kw
+
+
+@requires_8
+def test_dp_mesh_single_utterance(rng):
+    """A lone utterance on a dp mesh pads the batch to the shard count
+    and still returns the single-device tokens."""
+    import dataclasses
+
+    from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+    from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
+    from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+    from test_engine_e2e import MockTokenizer
+
+    cfg = tiny_test_config()
+    text = dataclasses.replace(cfg.text, vocab_size=151936)
+    cfg = dataclasses.replace(
+        cfg,
+        thinker_config=dataclasses.replace(cfg.thinker_config,
+                                           text_config=text),
+    )
+    enc_params = init_encoder_params(cfg.audio, dtype=jnp.float32)
+    dec_params = init_decoder_params(cfg.text, dtype=jnp.float32)
+
+    def engine(mesh):
+        return AsrEngine(
+            model_dir=None, dtype=jnp.float32, max_new_tokens=3,
+            chunk_buckets=(2,), config=cfg,
+            params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+            mesh=mesh,
+        )
+
+    samples = (rng.standard_normal(20000) * 0.1).astype(np.float32)
+    single = engine(None).transcribe_batch([samples, samples])[0]
+    dp_mesh = make_mesh(n_devices=4, tp=1)
+    got = engine(dp_mesh).transcribe_samples(samples)
+    assert got.raw_output == single.raw_output
+
+
+@requires_8
+def test_tp_mesh_int4_matches_single_device(rng):
+    """int4 under tensor parallelism (round 2: rejected): blocked
+    per-shard nibble packing commutes with Megatron column sharding, so
+    the tp engine emits the single-device int4 engine's tokens."""
+    import dataclasses
+
+    from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+    from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+    from test_engine_e2e import MockTokenizer
+
+    cfg = tiny_test_config()
+    text = dataclasses.replace(cfg.text, vocab_size=151936)
+    cfg = dataclasses.replace(
+        cfg,
+        thinker_config=dataclasses.replace(cfg.thinker_config,
+                                           text_config=text),
+    )
+    enc_params = init_encoder_params(cfg.audio, dtype=jnp.float32)
+    dec_params = init_decoder_params(cfg.text, dtype=jnp.float32)
+
+    def engine(mesh):
+        return AsrEngine(
+            model_dir=None, dtype=jnp.float32, max_new_tokens=3,
+            chunk_buckets=(2,), config=cfg,
+            params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+            quantize="int4", mesh=mesh,
+        )
+
+    samples = (rng.standard_normal(20000) * 0.1).astype(np.float32)
+    single = engine(None).transcribe_samples(samples)
+    mesh = make_mesh(n_devices=8,
+                     tp_divisor_of=cfg.text.num_key_value_heads)
+    assert mesh.shape["tp"] == 2
+    sharded = engine(mesh).transcribe_samples(samples)
+    assert sharded.raw_output == single.raw_output

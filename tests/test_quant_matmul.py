@@ -106,3 +106,34 @@ def test_int4_lm_head_logits_parity(rng):
     # on synthetic weights with a wide logit spread
     assert np.abs(got - want).max() < 0.5
     assert (got.argmax(-1) == want.argmax(-1)).mean() == 1.0
+
+
+def test_blocked_int4_pack_unpack_matches_plain(rng):
+    """Blocked (per-tp-shard) packing dequantizes to exactly the same
+    values as plain packing — only the nibble arrangement differs."""
+    import jax.numpy as jnp
+
+    from qwen3_asr_rs_tpu.ops.pallas.quant_matmul import (
+        quantize_weight_int4,
+        unpack_int4,
+        unpack_int4_blocked,
+    )
+
+    w = rng.standard_normal((24, 64)).astype("float32")
+    plain, s_plain = quantize_weight_int4(jnp.asarray(w))
+    for blocks in (2, 4):
+        blk, s_blk = quantize_weight_int4(jnp.asarray(w), blocks=blocks)
+        assert blk.shape == (24, blocks, 64 // (2 * blocks))
+        np.testing.assert_array_equal(
+            np.asarray(s_blk), np.asarray(s_plain)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(unpack_int4_blocked(blk)),
+            np.asarray(unpack_int4(plain)),
+        )
+        # shard-locality: each block's unpack reads only its own bytes
+        one = np.asarray(unpack_int4_blocked(blk[:, 1:2]))
+        full = np.asarray(unpack_int4_blocked(blk))
+        np.testing.assert_array_equal(
+            one, full[:, 64 // blocks : 2 * 64 // blocks]
+        )

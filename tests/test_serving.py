@@ -243,3 +243,59 @@ def test_slab_headroom_scales_with_segment_steps(rng):
     big = ContinuousBatcher(eng, n_slots=2, segment_steps=24)
     assert big.s_max - big.max_new >= 24 + (small.s_max - small.max_new - 8)
     assert small.s_max - small.max_new >= 8
+
+
+def test_batcher_under_dp_mesh_matches_offline(rng):
+    """Mesh serving: slot pool sharded over dp, segment graph GSPMD-
+    partitioned — results must match the unsharded offline engine."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from qwen3_asr_rs_tpu.config import tiny_test_config
+    from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+    from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
+    from qwen3_asr_rs_tpu.parallel.mesh import make_mesh
+    from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+    from test_engine_e2e import MockTokenizer
+
+    cfg = tiny_test_config()
+    text = dataclasses.replace(cfg.text, vocab_size=151936)
+    cfg = dataclasses.replace(
+        cfg, thinker_config=dataclasses.replace(cfg.thinker_config,
+                                                text_config=text)
+    )
+    enc_params = init_encoder_params(cfg.audio, dtype=jnp.float32)
+    dec_params = init_decoder_params(cfg.text, dtype=jnp.float32)
+
+    def engine(mesh):
+        return AsrEngine(
+            model_dir=None, dtype=jnp.float32, max_new_tokens=4,
+            chunk_buckets=(2,), config=cfg,
+            params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+            mesh=mesh,
+        )
+
+    mesh = make_mesh(n_devices=4, tp=1)  # dp=4
+    meshed = engine(mesh)
+    batcher = ContinuousBatcher(meshed, n_slots=2, segment_steps=2)
+    assert batcher.n_slots == 4  # rounded up to the dp multiple
+    assert batcher.mesh is mesh
+
+    reqs = [
+        Request((rng.standard_normal(n) * 0.1).astype(np.float32))
+        for n in (20000, 9000, 14000)
+    ]
+    for r in reqs:
+        batcher.submit(r)
+    _drive(batcher, lambda: all(r.event.is_set() for r in reqs),
+           max_iters=400)
+
+    offline = engine(None)
+    for r in reqs:
+        want = offline.transcribe_samples(r.samples)
+        assert r.result.raw_output == want.raw_output
