@@ -9,9 +9,9 @@ Exercises the exact reference CI contract (sample{1,2,3}.wav with expected
 transcripts alongside) and reports WER (English) / CER (Chinese) plus
 exact-match, which is the transcript-parity bar from BASELINE.md.
 
-``--compare`` runs every precision config (float32, bfloat16, int8
-weight-only) and reports the per-fixture WER/CER DELTA of each against
-float32 — the harness for validating that bf16/int8 serving is
+``--compare`` runs every precision config (float32, bfloat16, lm8,
+int8, int4 weight-only) and reports the per-fixture WER/CER DELTA of
+each against float32 — the harness for validating that bf16/int8 serving is
 quality-safe before enabling it in production.
 """
 
@@ -33,8 +33,11 @@ FIXTURE_DIR = Path(
 CONFIGS = {
     "float32": dict(dtype=jnp.float32, quantize=None),
     "bfloat16": dict(dtype=jnp.bfloat16, quantize=None),
+    "lm8": dict(dtype=jnp.bfloat16, quantize="lm8"),
     "int8": dict(dtype=jnp.bfloat16, quantize="int8"),
+    "int4": dict(dtype=jnp.bfloat16, quantize="int4"),
 }
+QUANT_TAGS = ("bfloat16", "lm8", "int8", "int4")
 
 
 def score(expected: str, got: str) -> tuple[str, float]:
@@ -83,6 +86,8 @@ def main():
         return 1
     model_dir = sys.argv[1]
     compare = "--compare" in sys.argv[2:]
+    # --assert-exact is the default single-config behavior (exit 2 on
+    # any non-exact float32 transcript); accepted for explicitness.
 
     wavs = sorted(FIXTURE_DIR.glob("*.wav"))
     if not wavs:
@@ -99,7 +104,7 @@ def main():
         tag: run_config(model_dir, tag, wavs) for tag in CONFIGS
     }
     ok = report("float32", all_results["float32"])
-    for tag in ("bfloat16", "int8"):
+    for tag in QUANT_TAGS:
         report(tag, all_results[tag])
 
     print("\n===== precision deltas vs float32")
@@ -108,7 +113,7 @@ def main():
             continue
         metric, s0 = score(expected, base.text)
         row = [f"{name}: f32 {metric} {s0:.3f}"]
-        for tag in ("bfloat16", "int8"):
+        for tag in QUANT_TAGS:
             _, s = score(expected, all_results[tag][name][1].text)
             row.append(f"{tag} {s:.3f} (delta {s - s0:+.3f})")
         print("   " + " | ".join(row))

@@ -23,6 +23,9 @@ from qwen3_asr_rs_tpu.weights.export import save_checkpoint
 from qwen3_asr_rs_tpu.weights.loader import load_model_params
 
 from test_engine_e2e import MockTokenizer
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e: quick tier skips
 
 
 def cfg_17b_like():

@@ -17,6 +17,7 @@ from qwen3_asr_rs_tpu.models.audio_encoder import (
 )
 
 import torch_ref
+import pytest
 
 
 def _np_params(params):
@@ -62,6 +63,7 @@ def _run_parity(num_frames, rng, bucket_chunks=None):
     np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_encoder_short_full_attention(rng):
     # 3 chunks < chunks_per_window -> reference uses full attention
     _run_parity(300, rng)
@@ -71,16 +73,19 @@ def test_encoder_partial_tail_chunk(rng):
     _run_parity(260, rng)  # tail chunk of 60 frames
 
 
+@pytest.mark.slow
 def test_encoder_windowed(rng):
     # > chunks_per_window (8) chunks -> block-diagonal windows
     _run_parity(1000, rng)
 
 
+@pytest.mark.slow
 def test_encoder_windowed_ragged_tail(rng):
     # 10.4 chunks: window 2 is partial (2 full chunks + tail)
     _run_parity(1040, rng)
 
 
+@pytest.mark.slow
 def test_encoder_bucket_padding_invariance(rng):
     # same audio, larger bucket -> identical valid outputs
     cfg = tiny_test_config().audio

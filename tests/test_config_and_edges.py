@@ -64,6 +64,7 @@ def test_config_from_partial_json(tmp_path):
     assert cfg.text.mrope_interleaved() is True
 
 
+@pytest.mark.slow
 def test_interleaved_mrope_model_forward(rng):
     """Decoder forward with an interleaved MRoPE config matches torch."""
     import torch_ref
@@ -107,6 +108,7 @@ def test_interleaved_mrope_model_forward(rng):
     )
 
 
+@pytest.mark.slow
 def test_bucket_picker():
     from test_engine_e2e import make_engine
 

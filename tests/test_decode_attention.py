@@ -44,6 +44,7 @@ def dense_reference(q, k_slab, v_slab, k_self, v_self, start, end):
         (3, 130, 8, 4, 128, [5, 0, 60], [100, 130, 61], 64),  # ragged block
     ],
 )
+@pytest.mark.slow
 def test_decode_attention_matches_dense(rng, b, s, hq, hkv, d, starts,
                                         ends, block_s):
     q = (rng.standard_normal((b, hq, d)) * 0.5).astype(np.float32)

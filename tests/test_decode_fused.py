@@ -11,6 +11,8 @@ from qwen3_asr_rs_tpu.models.text_decoder import (
     init_decoder_params,
 )
 
+pytestmark = pytest.mark.slow  # heavy parity/e2e: quick tier skips
+
 
 @pytest.mark.parametrize("s_max,pos", [(64, 37), (130, 100), (32, 1)])
 def test_fused_decode_step_matches_scan(rng, monkeypatch, s_max, pos):

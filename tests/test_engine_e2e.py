@@ -23,6 +23,9 @@ from qwen3_asr_rs_tpu.runtime.prompt import (
 
 import torch_ref
 from test_mel import torch_reference_logmel
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e: quick tier skips
 
 
 class MockTokenizer:

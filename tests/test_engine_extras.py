@@ -7,6 +7,8 @@ from qwen3_asr_rs_tpu.errors import AsrError, AudioError
 
 from test_engine_e2e import make_engine
 
+pytestmark = pytest.mark.slow  # heavy parity/e2e: quick tier skips
+
 
 def test_warmup_precompiles_buckets(rng):
     eng, *_ = make_engine(max_new=2)

@@ -7,6 +7,8 @@ import pytest
 from qwen3_asr_rs_tpu.ops.attention import dense_attention
 from qwen3_asr_rs_tpu.ops.pallas.flash_attention import flash_attention
 
+pytestmark = pytest.mark.slow  # heavy parity/e2e: quick tier skips
+
 
 def _mask_from(kv_valid, causal, b, sq, sk):
     import numpy as np

@@ -16,6 +16,9 @@ from qwen3_asr_rs_tpu.models.text_decoder import (
     dequantize_kv,
     quantize_kv,
 )
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e: quick tier skips
 
 
 def test_quantize_kv_roundtrip(rng):

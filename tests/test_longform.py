@@ -3,6 +3,7 @@
 import numpy as np
 
 from qwen3_asr_rs_tpu.runtime.longform import best_join, stitch
+import pytest
 
 
 def test_best_join_exact_overlap():
@@ -39,6 +40,7 @@ def test_stitch_chain():
     assert stitch(["solo"]) == "solo"
 
 
+@pytest.mark.slow
 def test_engine_longform_overlap(rng, tmp_path):
     from test_engine_e2e import make_engine
     from test_audio_io import write_wav_pcm16

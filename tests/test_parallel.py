@@ -13,6 +13,8 @@ from qwen3_asr_rs_tpu.parallel.sharding import (
     shard_params,
 )
 
+pytestmark = pytest.mark.slow  # heavy parity/e2e: quick tier skips
+
 requires_8 = pytest.mark.skipif(
     jax.device_count() < 8, reason="needs 8 virtual devices"
 )

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qwen3_asr_rs_tpu.config import tiny_test_config
 from qwen3_asr_rs_tpu.models.text_decoder import TextDecoder, init_decoder_params
@@ -52,6 +53,7 @@ def test_quantized_forward_matches_dequantized_reference(rng):
     )
 
 
+@pytest.mark.slow
 def test_engine_with_int8_quantization(rng):
     _, cfg, enc_params, dec_params = make_engine(max_new=4)
     eng = AsrEngine(
@@ -200,6 +202,7 @@ def test_quant_bits_detection():
     assert quant_bits(quantize_decoder_params(params, bits=4)) == 4
 
 
+@pytest.mark.slow
 def test_engine_with_int4_quantization(rng):
     _, cfg, enc_params, dec_params = make_engine(max_new=4)
     eng = AsrEngine(
@@ -213,6 +216,7 @@ def test_engine_with_int4_quantization(rng):
     assert isinstance(result.raw_output, str)
 
 
+@pytest.mark.slow
 def test_merged_qkv_gateup_matches_separate(rng):
     """Merged qkv/gateup quantization == separate projections (both bits).
 
@@ -254,6 +258,7 @@ def test_merged_qkv_gateup_matches_separate(rng):
         )
 
 
+@pytest.mark.slow
 def test_engine_with_lm8_quantization(rng):
     """bf16 layers + int8 lm_head: mildest quality knob, runs e2e."""
     _, cfg, enc_params, dec_params = make_engine(max_new=4)

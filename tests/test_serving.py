@@ -5,6 +5,9 @@ import numpy as np
 from qwen3_asr_rs_tpu.runtime.serving import ContinuousBatcher, Request
 
 from test_engine_e2e import make_engine
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e: quick tier skips
 
 
 def _drive(batcher, until, max_iters=200):

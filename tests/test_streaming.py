@@ -8,6 +8,9 @@ from qwen3_asr_rs_tpu.runtime.streaming import (
 )
 
 from test_engine_e2e import make_engine
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e: quick tier skips
 
 
 def test_common_prefix_len():

@@ -14,6 +14,7 @@ from qwen3_asr_rs_tpu.models.text_decoder import (
 from qwen3_asr_rs_tpu.ops.rotary import RotaryTable
 
 import torch_ref
+import pytest
 
 
 def _np_params(params):
@@ -65,6 +66,7 @@ def test_forward_full_matches_torch():
     )
 
 
+@pytest.mark.slow
 def test_prefill_plus_decode_matches_torch_incremental():
     """Slab-cache prefill + decode steps == concat-cache reference."""
     cfg = tiny_test_config().text
@@ -137,6 +139,7 @@ def test_untied_lm_head():
     assert logits.shape == (1, 2, cfg.vocab_size)
 
 
+@pytest.mark.slow
 def test_prefill_chunk_matches_full_prefill(rng):
     """Chunked prefill (history + causal fresh block) == one-shot prefill."""
     cfg = tiny_test_config().text

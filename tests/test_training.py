@@ -12,6 +12,8 @@ from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
 from qwen3_asr_rs_tpu.runtime.prompt import AUDIO_OFFSET
 from qwen3_asr_rs_tpu.training.train_step import TrainState, make_train_step
 
+pytestmark = pytest.mark.slow  # heavy parity/e2e: quick tier skips
+
 
 def make_batch(cfg, b, rng, num_chunks=2):
     cf = cfg.audio.chunk_frames

@@ -24,6 +24,8 @@ from qwen3_asr_rs_tpu.training.train_step import TrainState, make_train_step
 from test_audio_io import write_wav_pcm16
 from test_engine_e2e import MockTokenizer
 
+pytestmark = pytest.mark.slow  # heavy parity/e2e: quick tier skips
+
 
 @pytest.fixture()
 def corpus(tmp_path, rng):

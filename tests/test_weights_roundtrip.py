@@ -79,6 +79,7 @@ def write_word_tokenizer(model_dir):
         json.dump(tok, f)
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path, capsys, rng):
     """Full CLI path: synthetic checkpoint on disk -> `asr model audio`."""
     cfg = _tiny_cfg_real_vocab()

@@ -47,6 +47,7 @@ def test_healthz(server):
         assert json.loads(r.read())["status"] == "ok"
 
 
+@pytest.mark.slow
 def test_transcribe_endpoint(server, tmp_path, rng):
     from test_audio_io import write_wav_pcm16
 
