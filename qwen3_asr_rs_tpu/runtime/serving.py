@@ -137,6 +137,7 @@ class ContinuousBatcher:
         max_chunks: Optional[int] = None,
         prefill_chunk_tokens: Optional[int] = 256,
         encode_window_groups: Optional[int] = 2,
+        serving_precision: str = "engine",
     ):
         self.engine = engine
         # Mesh serving: the slot pool shards across the mesh — slab and
@@ -164,6 +165,56 @@ class ContinuousBatcher:
         if max_new_tokens is None:
             max_new_tokens = min(engine.max_new_tokens, 512)
         self.max_new = max_new_tokens
+        # Per-segment decode precision. Weight-only int8 wins when few
+        # slots decode (the segment is weight-stream-bound: half the
+        # bytes), bf16 wins once the batch amortizes the weight stream
+        # and the int8 dequant VPU work lands on the critical path
+        # (measured round 2f: batch-8 aggregate 203x bf16 vs 134x int8;
+        # single-stream 0.96 ms/token int8 vs 1.74 bf16). "auto" keeps
+        # BOTH param sets resident and picks per segment by live-slot
+        # occupancy against ASR_SERVING_INT8_MAX_OCC (default 2;
+        # measure the real crossover with scripts/bench_serving.py).
+        # "engine" (default) always uses the engine's own params.
+        import os
+
+        if serving_precision not in ("engine", "auto", "bf16", "int8"):
+            raise ValueError(
+                f"unknown serving_precision {serving_precision!r}"
+            )
+        self.serving_precision = serving_precision
+        self.int8_max_occupancy = int(
+            os.environ.get("ASR_SERVING_INT8_MAX_OCC", "2")
+        )
+        self._params_by_precision = {"engine": engine.dec_params}
+        if serving_precision != "engine":
+            from ..weights.quantize import (
+                is_quantized,
+                quant_bits,
+                quantize_decoder_params,
+            )
+
+            if is_quantized(engine.dec_params):
+                if serving_precision in ("auto", "bf16") or quant_bits(
+                    engine.dec_params
+                ) != 8:
+                    raise ValueError(
+                        "serving_precision needs an UNQUANTIZED engine "
+                        "(the batcher derives its own int8 copy); build "
+                        "the engine without quantize="
+                    )
+                self._params_by_precision["int8"] = engine.dec_params
+            else:
+                self._params_by_precision["bf16"] = engine.dec_params
+                if serving_precision in ("auto", "int8"):
+                    mesh_tp = (
+                        engine.mesh.shape.get("tp", 1)
+                        if engine.mesh is not None else 1
+                    )
+                    self._params_by_precision["int8"] = (
+                        quantize_decoder_params(
+                            engine.dec_params, merge=mesh_tp == 1
+                        )
+                    )
         if max_chunks is None:
             max_chunks = min(engine.chunk_buckets[-1], 120)
         self.max_chunks = max_chunks
@@ -721,11 +772,31 @@ class ContinuousBatcher:
             "slot %d finished with %d tokens", slot_idx, len(slot.tokens)
         )
 
+    def _segment_params(self):
+        """Decoder params for the next segment (precision auto-select).
+
+        "auto" picks int8 when at most ``int8_max_occupancy`` slots are
+        live (weight-stream-bound regime) and bf16 above it. The host
+        ``done`` mirror lags one segment — a heuristic input, never a
+        correctness one (both param sets decode identically-shaped
+        state; only logits numerics differ).
+        """
+        mode = self.serving_precision
+        if mode == "engine":
+            return self.engine.dec_params
+        if mode == "auto":
+            live = sum(
+                1 for i, s in enumerate(self.slots)
+                if s.active and not self.done[i]
+            )
+            mode = "int8" if live <= self.int8_max_occupancy else "bf16"
+        return self._params_by_precision[mode]
+
     def _dispatch_segment(self) -> None:
         """Launch one decode segment from the device state (async)."""
         fn = self._segment_graph()
         tok, pos, done, out, k, v = fn(
-            self.engine.dec_params,
+            self._segment_params(),
             self.cache.k,
             self.cache.v,
             self.d_tok,

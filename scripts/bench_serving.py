@@ -7,6 +7,12 @@ Synthetic weights never emit EOS, so every request decodes to its max_new
 cap — an upper bound on real decode work.
 
 Run: python scripts/bench_serving.py [--quant int4] [--requests 32]
+     python scripts/bench_serving.py --precision auto [--occ 2]
+
+``--precision auto`` keeps bf16 AND int8 decoder params resident and
+picks per decode segment by live-slot occupancy (crossover via --occ /
+ASR_SERVING_INT8_MAX_OCC); measure it against --quant None and
+--quant int8 at several --slots values to locate the real crossover.
 """
 
 import argparse
@@ -19,7 +25,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main(n_requests=24, quant=None, max_new=32, n_slots=8):
+def main(n_requests=24, quant=None, max_new=32, n_slots=8,
+         precision="engine", occ=None):
     import jax.numpy as jnp
 
     from qwen3_asr_rs_tpu.config import AsrConfig
@@ -45,9 +52,12 @@ def main(n_requests=24, quant=None, max_new=32, n_slots=8):
         params=(enc_params, dec_params), tokenizer=_Tok(),
         quantize=quant,
     )
+    if occ is not None:
+        os.environ["ASR_SERVING_INT8_MAX_OCC"] = str(occ)
     batcher = ContinuousBatcher(
         engine, n_slots=n_slots, segment_steps=8,
         max_new_tokens=max_new, max_chunks=30,
+        serving_precision=precision,
     )
 
     rng = np.random.default_rng(0)
@@ -85,7 +95,7 @@ def main(n_requests=24, quant=None, max_new=32, n_slots=8):
         lat = r.finish_time - r.submit_time
         by_len.setdefault(sec, []).append(lat)
     print(
-        f"quant={quant}: {n_requests} reqs ({audio_total:.0f} s audio) in "
+        f"quant={quant} precision={precision}: {n_requests} reqs ({audio_total:.0f} s audio) in "
         f"{wall:.2f} s -> {audio_total / wall:.1f}x RT aggregate "
         f"({n_slots} slots, {max_new} tok/req cap)"
     )
@@ -105,5 +115,9 @@ if __name__ == "__main__":
     ap.add_argument("--requests", type=int, default=24)
     ap.add_argument("--max-new", type=int, default=32)
     ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--precision", default="engine",
+                    choices=["engine", "auto", "bf16", "int8"])
+    ap.add_argument("--occ", type=int, default=None,
+                    help="auto mode int8 occupancy crossover")
     a = ap.parse_args()
-    main(a.requests, a.quant, a.max_new, a.slots)
+    main(a.requests, a.quant, a.max_new, a.slots, a.precision, a.occ)

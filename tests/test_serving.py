@@ -302,3 +302,40 @@ def test_batcher_under_dp_mesh_matches_offline(rng):
     for r in reqs:
         want = offline.transcribe_samples(r.samples)
         assert r.result.raw_output == want.raw_output
+
+
+def test_serving_precision_auto_select(rng, monkeypatch):
+    """Per-segment precision auto-select: at/below the occupancy
+    threshold segments run int8, above it bf16; threshold 0 reproduces
+    the engine-precision results exactly."""
+    eng, *_ = make_engine(max_new=4)
+
+    # threshold 0: every live segment runs the bf16 (= engine) params
+    monkeypatch.setenv("ASR_SERVING_INT8_MAX_OCC", "0")
+    auto = ContinuousBatcher(
+        eng, n_slots=2, segment_steps=2, serving_precision="auto"
+    )
+    assert set(auto._params_by_precision) == {"engine", "bf16", "int8"}
+    samples = (rng.standard_normal(20000) * 0.1).astype(np.float32)
+    req = Request(samples)
+    auto.submit(req)
+    _drive(auto, lambda: req.event.is_set())
+    offline = eng.transcribe_samples(samples)
+    assert req.result.raw_output == offline.raw_output
+
+    # huge threshold: segments pick the int8 copy
+    monkeypatch.setenv("ASR_SERVING_INT8_MAX_OCC", "99")
+    b8 = ContinuousBatcher(
+        eng, n_slots=2, segment_steps=2, serving_precision="auto"
+    )
+    r8 = Request(samples)
+    b8.submit(r8)
+    b8.step(block_timeout=0.001)  # admit; slot live
+    assert b8._segment_params() is b8._params_by_precision["int8"]
+    _drive(b8, lambda: r8.event.is_set())
+    assert isinstance(r8.result.raw_output, str)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="serving_precision"):
+        ContinuousBatcher(eng, n_slots=2, serving_precision="fp4")
