@@ -1,12 +1,16 @@
 """On-chip benchmark at full Qwen3-ASR-1.7B scale (synthetic weights).
 
-The 1.7B decoder's bf16 layer weights (~100 MB) exceed the decode
-megakernel's double-buffered VMEM budget, so bf16 decode takes the scan
-path (the VMEM guard's job); int8 (~50 MB/layer) keeps the megakernel.
+bf16 streams each layer through the megakernel in FFN tiles
+(layer-split: ~100 MB/layer exceeds the whole-layer VMEM budget);
+measured round 3: bf16 decode is weight-streaming-floor-bound either
+way (~44x at 30 s / 128 tok). int8 runs the whole-layer megakernel;
+the int8_lm4 row adds the int4 lm_head (ASR_LM_BITS=4) + int8 KV slab
+— the fastest quality-unvalidated int8-family config (87x; int4 129x).
 Run: python scripts/bench_17b.py  -> prints per-config xRT lines.
 """
 
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -32,14 +36,24 @@ def main():
     params = (enc_params, dec_params)
 
     rows = {}
-    for quant in (None, "int8", "int4"):
-        tag = quant or "bf16"
+    cases = [
+        ("bf16", None, {}),
+        ("int8", "int8", {}),
+        ("int8_lm4_kv8", "int8", {"ASR_LM_BITS": "4", "ASR_KV": "int8"}),
+        ("int4", "int4", {}),
+    ]
+    for tag, quant, env in cases:
+        for k in ("ASR_LM_BITS", "ASR_KV"):
+            os.environ.pop(k, None)
+        os.environ.update(env)
         print(f"--- 1.7B {tag} 30 s / 128 tok", file=sys.stderr)
         eng = _mk_engine(config, params, quant, max_new=128, bucket=30)
         t30 = _bench_once(eng, config, 30.0, 30)
         rows[f"17b_{tag}_xrt_30s_128tok"] = round(30.0 / t30, 2)
         rows[f"17b_{tag}_ms_30s"] = round(t30 * 1000, 1)
         del eng
+    for k in ("ASR_LM_BITS", "ASR_KV"):
+        os.environ.pop(k, None)
     print(json.dumps(rows))
 
 
