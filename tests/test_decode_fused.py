@@ -387,3 +387,35 @@ def test_fused_int4_matches_int4_scan(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(c_fused.v), np.asarray(c_scan.v), atol=5e-3, rtol=5e-3
     )
+
+
+def test_split_ffn_with_folded_lm_matches_scan_argmax(rng, monkeypatch):
+    """Layer-split FFN composes with lm-head folding: the lm tile steps
+    start after num_layers * (1 + tiles) grid steps and still emit the
+    scan path's argmax token."""
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    dec = TextDecoder(cfg, max_position=256)
+
+    cache = KVCache.zeros(cfg, 1, 64, dtype=jnp.float32)
+    cache = KVCache(
+        k=jnp.asarray(rng.standard_normal(cache.k.shape) * 0.1, jnp.float32),
+        v=jnp.asarray(rng.standard_normal(cache.v.shape) * 0.1, jnp.float32),
+    )
+    tok = jnp.asarray([42], jnp.int32)
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "scan")
+    logits, cache_scan = dec.decode_step(params, tok, jnp.int32(37), cache)
+    want = int(jnp.argmax(logits, -1)[0])
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "fused")
+    monkeypatch.setenv("ASR_FOLD_LM", "1")
+    monkeypatch.setenv("ASR_FFN_TILES", "2")
+    got, cache_fused = dec.decode_step_token(
+        params, tok, jnp.int32(37), cache
+    )
+    assert int(got[0]) == want
+    np.testing.assert_allclose(
+        np.asarray(cache_fused.k), np.asarray(cache_scan.k),
+        atol=1e-5, rtol=1e-5,
+    )
