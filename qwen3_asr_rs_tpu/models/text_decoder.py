@@ -684,7 +684,8 @@ class TextDecoder:
             if forced > 1 and (merged or int4 or inter % forced):
                 return 0
             return forced
-        for nt in (1, 2, 4, 8):
+        fitting = []
+        for nt in (1, 2, 4, 8, 16):
             if nt > 1:
                 if merged or int4:
                     break  # split needs unmerged non-int4 params
@@ -695,8 +696,20 @@ class TextDecoder:
             )
             total = 2 * per_layer + attn_bufs + lm_bufs + const
             if total <= VMEM_LIMIT_BYTES:
-                return nt
-        return 0
+                if nt == 1:
+                    return 1  # whole layer: no split overhead
+                fitting.append(nt)
+        if not fitting:
+            return 0
+        # forced to split: prefer ~10 MB gate/up tiles — measured at
+        # 1.7B bf16 (tiles 18.9 / 9.4 / 4.7 MB -> 5.04 / 4.88 / 5.02
+        # ms/token): big tiles double-buffer poorly against the VMEM
+        # ceiling, tiny tiles pay per-sub-step overhead
+        target = 10 * 1024 * 1024
+        return min(
+            fitting,
+            key=lambda nt: abs(3 * h * (inter // nt) * wbytes - target),
+        )
 
     def _use_fused_step(self, params, b: int, pos, cache: KVCache,
                         fold_lm: bool = False) -> int:

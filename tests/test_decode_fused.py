@@ -244,7 +244,9 @@ def test_fused_step_tiles_17b_split():
     params = {"layers": {"q_w": jnp.zeros((1, 1), jnp.bfloat16)}}
     cache = KVCache.zeros(cfg, 1, 704, dtype=jnp.bfloat16)
     nt = dec._fused_step_tiles(params, 1, cache)
-    assert nt in (2, 4), nt  # split engaged, smallest fitting tiling
+    # split engaged with the measured-best ~10 MB ffn tiles (nt=8 at
+    # 1.7B bf16: 4.88 ms/token vs 5.04 at nt=4, PERFORMANCE.md round 3b)
+    assert nt == 8, nt
 
     # int8 1.7B fits whole (50 MB/layer): no split
     params8 = {"layers": {"q_w_q": jnp.zeros((1, 1), jnp.int8)}}
