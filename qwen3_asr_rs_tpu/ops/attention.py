@@ -106,7 +106,18 @@ def attention(
     if impl == "auto":
         b, sq = q.shape[0], q.shape[1]
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        impl = "flash" if (on_tpu and sq >= 512) else "dense"
+        # Measured on v5e (0.6B decoder prefill, B=1, 16Q/8KV, D=128):
+        # XLA's dense path beats the Pallas flash kernel at EVERY
+        # practical length with a ~1.5x constant factor (dense/flash
+        # ms: 512: 5.4/8.5, 1024: 12.2/24.8, 2048: 46/73, 3072:
+        # 95/147 — PERFORMANCE.md round 3c), so speed never selects
+        # flash here. The kernel's remaining value is MEMORY: dense
+        # materializes the (B, Hq, Sq, Sk) f32 scores (16 * S^2 * 4 B
+        # ~ 5 GB at the 360 s bucket's ~9k tokens), flash streams
+        # them through VMEM. Auto therefore picks flash only where
+        # the score tensor becomes a multi-GB allocation.
+        threshold = int(os.environ.get("ASR_ATTN_THRESHOLD", "4096"))
+        impl = "flash" if (on_tpu and sq >= threshold) else "dense"
 
     if impl == "flash":
         from .pallas.flash_attention import flash_attention
