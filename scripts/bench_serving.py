@@ -75,6 +75,14 @@ def main(n_requests=24, quant=None, max_new=32, n_slots=8,
         batcher.submit(r)
         while not r.event.is_set():
             batcher.step()
+    # full-occupancy burst so BOTH precision variants of the segment
+    # graph compile before the timed region (auto mode switches params
+    # by live-slot count; a cold compile mid-burst would be timed)
+    warm_burst = [Request(samples=clip(4)) for _ in range(n_slots)]
+    for r in warm_burst:
+        batcher.submit(r)
+    while not all(r.event.is_set() for r in warm_burst):
+        batcher.step()
 
     reqs = []
     audio_total = 0.0
