@@ -915,6 +915,50 @@ class ContinuousBatcher:
         self._drain()
         return True
 
+    def warmup(self, buckets=None) -> None:
+        """Precompile admission + decode-segment graphs before traffic.
+
+        Drives synthetic silent requests through the scheduler: one per
+        audio bucket (compiling each bucket's mel/encode/prefill
+        graphs), then a full-occupancy burst so the segment graph
+        compiles at real batch state — in ``serving_precision="auto"``
+        the burst covers BOTH precision variants (low occupancy during
+        the tail compiles int8, high occupancy bf16). A cold compile
+        inside live traffic would stall every active request (measured:
+        a mid-burst segment compile cost 2.6x aggregate throughput in
+        scripts/bench_serving.py before the bench warmed both).
+        """
+        cf = self.engine.config.audio.chunk_frames
+        if buckets is None:
+            buckets = [
+                c for c in self.engine.chunk_buckets
+                if c <= self.max_chunks
+            ]
+        # One decode segment per synthetic request is enough to compile
+        # every graph; the default max_new (512) would burn ~60 wasted
+        # segments per bucket on silence.
+        max_new = max(1, self.segment_steps)
+        for c in buckets:
+            clip = np.zeros(int(c * cf * 160), np.float32)
+            r = Request(samples=clip, max_new_tokens=max_new)
+            self.submit(r)
+            while not r.event.is_set():
+                self.step(block_timeout=0.001)
+            logger.info("serving warmup: bucket %d chunks compiled", c)
+        small = np.zeros(int(min(buckets) * cf * 160), np.float32)
+        burst = [
+            Request(samples=small, max_new_tokens=max_new)
+            for _ in range(self.n_slots)
+        ]
+        for r in burst:
+            self.submit(r)
+        while not all(r.event.is_set() for r in burst):
+            self.step(block_timeout=0.001)
+        logger.info(
+            "serving warmup: %d-slot burst compiled (all precision "
+            "variants)", self.n_slots,
+        )
+
 
 class ServingLoop(threading.Thread):
     """Background thread driving a ContinuousBatcher."""

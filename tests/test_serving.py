@@ -339,3 +339,21 @@ def test_serving_precision_auto_select(rng, monkeypatch):
 
     with pytest.raises(ValueError, match="serving_precision"):
         ContinuousBatcher(eng, n_slots=2, serving_precision="fp4")
+
+
+def test_warmup_compiles_and_leaves_batcher_idle(rng):
+    """warmup() drives every bucket + a full burst, then real traffic
+    still matches the offline engine and no warmup state leaks."""
+    eng, *_ = make_engine(max_new=8)
+    batcher = ContinuousBatcher(eng, n_slots=2, segment_steps=2)
+    batcher.warmup()
+
+    assert all(s.request is None for s in batcher.slots)
+    assert batcher.queue.empty()
+
+    samples = (rng.standard_normal(20000) * 0.1).astype(np.float32)
+    req = Request(samples)
+    batcher.submit(req)
+    _drive(batcher, lambda: req.event.is_set())
+    offline = eng.transcribe_samples(samples)
+    assert req.result.raw_output == offline.raw_output
