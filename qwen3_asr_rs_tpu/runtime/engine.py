@@ -83,6 +83,9 @@ class AsrEngine:
         unroll_decode: bool = False,
         mesh=None,
     ):
+        from ..utils.compile_cache import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
         model_dir = Path(model_dir) if model_dir is not None else None
         if config is None:
             config = AsrConfig.from_file(model_dir / "config.json")
