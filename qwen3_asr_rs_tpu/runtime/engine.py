@@ -97,7 +97,14 @@ class AsrEngine:
         if params is None:
             logger.info("Loading weights from %s", model_dir)
             t0 = time.monotonic()
-            params = load_model_params(model_dir, config, dtype)
+            # Under a mesh the params stay on host here: shard_params
+            # below does the (sharded) placement, and quantization in
+            # between then runs on host so the transfer ships the
+            # quantized bytes instead of bf16.
+            params = load_model_params(
+                model_dir, config, dtype,
+                device=None if mesh is not None else "default",
+            )
             logger.info("Weights loaded in %.1fs", time.monotonic() - t0)
         self.enc_params, self.dec_params = params
 

@@ -73,12 +73,49 @@ def load_model_params(
     model_dir: str | Path,
     config: AsrConfig,
     dtype=jnp.bfloat16,
+    device="default",
 ) -> tuple[PyTree, PyTree]:
-    """Load (encoder_params, decoder_params) from a model directory."""
-    tensors = load_checkpoint(model_dir)
-    enc = map_encoder_params(tensors, config, dtype)
-    dec = map_decoder_params(tensors, config, dtype)
+    """Load (encoder_params, decoder_params) from a model directory.
+
+    The safetensors read and all mapping work (stack, transpose, cast)
+    run on the host CPU backend; the finished pytrees are then shipped
+    to ``device`` in one bulk transfer per unique leaf. Mapping on the
+    accelerator instead would pay a host->device round-trip plus a tiny
+    jit compile per tensor (~300 dispatches for 0.6B) — measured at
+    ~6x the load wall-clock on a remote-attached TPU.
+
+    device: "default" -> jax.devices()[0]; None -> stay on host (for
+    callers that place params themselves, e.g. mesh sharding); or an
+    explicit jax Device.
+    """
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        tensors = load_checkpoint(model_dir)
+        enc = map_encoder_params(tensors, config, dtype)
+        dec = map_decoder_params(tensors, config, dtype)
+        del tensors
+    if device == "default":
+        device = jax.devices()[0]
+        if device.platform == "cpu":
+            device = None
+    if device is not None:
+        enc, dec = _put_tree((enc, dec), device)
     return enc, dec
+
+
+def _put_tree(tree: PyTree, device) -> PyTree:
+    """device_put each unique leaf once (tied embeddings/lm_head share
+    one array; a naive tree device_put would upload it twice)."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    placed: Dict[int, Any] = {}
+    out = [
+        placed.setdefault(id(x), jax.device_put(x, device)) for x in leaves
+    ]
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def _get(tensors, name, dtype):
