@@ -787,6 +787,7 @@ class TextDecoder:
             cos, sin = self.rotary.lookup(jnp.asarray(pos)[None])
             cos_b = jnp.broadcast_to(cos, (b, cos.shape[-1]))
             sin_b = jnp.broadcast_to(sin, (b, sin.shape[-1]))
+            lm_w, lm_s, prepared, lm_v = self._lm_fold_operands(params)
             tok, ks, vs = decode_layers_fused(
                 hidden, cos_b, sin_b, params["layers"],
                 cache.k, cache.v, None, pos,
@@ -794,8 +795,10 @@ class TextDecoder:
                 interpret=_interpret_pallas(),
                 fold_lm=True,
                 final_ln_w=params["final_ln_w"],
-                lm_head=params.get("lm_head", params.get("lm_head_q")),
-                lm_scales=params.get("lm_head_s"),
+                lm_head=lm_w,
+                lm_scales=lm_s,
+                lm_prepared=prepared,
+                lm_v=lm_v,
                 k_scales=cache.k_scale, v_scales=cache.v_scale,
                 ffn_tiles=nt,
             )
@@ -825,6 +828,7 @@ class TextDecoder:
             positions = (slot - kv_start)[:, None]
             cos, sin = self.rotary.lookup_batch(positions)
             b_arr = jnp.broadcast_to(slot, (b,)).astype(jnp.int32)
+            lm_w, lm_s, prepared, lm_v = self._lm_fold_operands(params)
             tok, ks, vs = decode_layers_fused(
                 hidden, cos[:, 0], sin[:, 0], params["layers"],
                 cache.k, cache.v, kv_start.astype(jnp.int32), b_arr,
@@ -832,8 +836,10 @@ class TextDecoder:
                 interpret=_interpret_pallas(),
                 fold_lm=True,
                 final_ln_w=params["final_ln_w"],
-                lm_head=params.get("lm_head", params.get("lm_head_q")),
-                lm_scales=params.get("lm_head_s"),
+                lm_head=lm_w,
+                lm_scales=lm_s,
+                lm_prepared=prepared,
+                lm_v=lm_v,
                 k_scales=cache.k_scale, v_scales=cache.v_scale,
                 ffn_tiles=nt,
             )
@@ -847,6 +853,26 @@ class TextDecoder:
     def _write_fresh(self, cache: KVCache, ks, vs, slot) -> KVCache:
         """One slab write of all layers' fresh K/V at a shared slot."""
         return self._write_token_kv(cache, ks, vs, slot)
+
+    @staticmethod
+    def _lm_fold_operands(params: PyTree):
+        """(lm_head, lm_scales, lm_prepared, lm_v) for the folded step.
+
+        Prefers the engine-prepared padded operands (``lm_fold_w`` /
+        ``lm_fold_s`` from decode_layer.prepare_lm_fold): preparing
+        inside the per-token call leaves a full lm_head transpose+pad
+        in the decode loop body unless XLA hoists it.
+        """
+        if "lm_fold_w" in params:
+            if "lm_head" in params:          # bf16/f32 (V, H)
+                lm_v = params["lm_head"].shape[0]
+            else:                            # int8 (H, V)
+                lm_v = params["lm_head_q"].shape[1]
+            return params["lm_fold_w"], params["lm_fold_s"], True, lm_v
+        return (
+            params.get("lm_head", params.get("lm_head_q")),
+            params.get("lm_head_s"), False, 0,
+        )
 
     # Per-pallas_call launch overhead measured through the tunneled v5e
     # (NOTES.md); untunneled hardware is substantially cheaper. Override

@@ -67,6 +67,33 @@ VMEM_LIMIT_BYTES = 120 * 1024 * 1024
 LM_TILE = 8192
 
 
+def prepare_lm_fold(lm_head, lm_scales=None):
+    """One-time prep of the folded lm-head operands.
+
+    Returns (lm_w (H, V_pad), lm_s (8, V_pad) f32). Doing the
+    transpose/pad inside ``decode_layers_fused`` puts a full lm_head
+    copy (~155-311 MB at 0.6B) in the decode while-loop body unless
+    XLA's loop-invariant code motion happens to hoist it; callers that
+    fold should build these once (engine init) and pass them with
+    ``lm_prepared=True``.
+    """
+    if lm_head.dtype == jnp.int8:
+        lm_w = lm_head  # already (H, V)
+        v_true = lm_head.shape[1]
+    else:
+        lm_w = jnp.transpose(lm_head)  # (V, H) -> (H, V)
+        v_true = lm_head.shape[0]
+    n_tiles = -(-v_true // LM_TILE)
+    v_pad = n_tiles * LM_TILE
+    lm_w = jnp.pad(lm_w, ((0, 0), (0, v_pad - v_true)))
+    lm_s = jnp.zeros((8, v_pad), jnp.float32)
+    if lm_scales is not None:
+        lm_s = lm_s.at[0, :v_true].set(lm_scales.astype(jnp.float32))
+    else:
+        lm_s = lm_s.at[0].set(1.0)
+    return lm_w, lm_s
+
+
 def _rms_norm(x, w, eps):
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -575,7 +602,9 @@ def _pack_aux(layers, names, rows, quantized, nl, h_dim, d, max_n):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "interpret", "fold_lm", "ffn_tiles"),
+    static_argnames=(
+        "eps", "interpret", "fold_lm", "ffn_tiles", "lm_prepared", "lm_v",
+    ),
 )
 def decode_layers_fused(
     x,        # (B, H) current hidden (embedded tokens)
@@ -596,6 +625,8 @@ def decode_layers_fused(
     k_scales=None,     # (L, B, Hkv, S) f32 — int8-KV slab scales
     v_scales=None,
     ffn_tiles: int = 1,
+    lm_prepared: bool = False,  # lm_head/lm_scales are prepare_lm_fold
+    lm_v: int = 0,              # true (unpadded) vocab when lm_prepared
 ):
     """Run all decoder layers for one token per example.
 
@@ -659,20 +690,29 @@ def decode_layers_fused(
         norms_packed = norms_packed.at[:, 4].set(
             jnp.broadcast_to(final_ln_w, (nl, h_dim))
         )
-        if lm_head.dtype == jnp.int8:
-            lm_w = lm_head  # already (H, V)
-            v_true = lm_head.shape[1]
+        if lm_prepared:
+            lm_w, lm_s = lm_head, lm_scales
+            v_true = lm_v
+            n_lm_tiles = lm_w.shape[1] // LM_TILE
         else:
-            lm_w = jnp.transpose(lm_head)  # (H, V)
-            v_true = lm_head.shape[0]
-        n_lm_tiles = -(-v_true // LM_TILE)
-        v_pad = n_lm_tiles * LM_TILE
-        lm_w = jnp.pad(lm_w, ((0, 0), (0, v_pad - v_true)))
-        lm_s = jnp.zeros((8, v_pad), jnp.float32)
-        if lm_scales is not None:
-            lm_s = lm_s.at[0, :v_true].set(lm_scales.astype(jnp.float32))
-        else:
-            lm_s = lm_s.at[0].set(1.0)
+            # legacy in-call prep: relies on XLA hoisting the full
+            # lm_head copy out of the caller's decode loop
+            if lm_head.dtype == jnp.int8:
+                lm_w = lm_head  # already (H, V)
+                v_true = lm_head.shape[1]
+            else:
+                lm_w = jnp.transpose(lm_head)  # (H, V)
+                v_true = lm_head.shape[0]
+            n_lm_tiles = -(-v_true // LM_TILE)
+            v_pad = n_lm_tiles * LM_TILE
+            lm_w = jnp.pad(lm_w, ((0, 0), (0, v_pad - v_true)))
+            lm_s = jnp.zeros((8, v_pad), jnp.float32)
+            if lm_scales is not None:
+                lm_s = lm_s.at[0, :v_true].set(
+                    lm_scales.astype(jnp.float32)
+                )
+            else:
+                lm_s = lm_s.at[0].set(1.0)
     else:
         n_lm_tiles = 0
         v_true = 0

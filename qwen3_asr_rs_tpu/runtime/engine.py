@@ -145,6 +145,26 @@ class AsrEngine:
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
 
+        # lm-head folding operands (opt-in via ASR_FOLD_LM=1): prepare
+        # the transposed/padded lm_head ONCE so the folded decode step
+        # never copies it per token (decode_layer.prepare_lm_fold).
+        # int4 lm_head excluded — folding reads int8/bf16 tiles.
+        if (
+            os.environ.get("ASR_FOLD_LM") == "1"
+            and "lm_head_q4" not in self.dec_params
+        ):
+            from ..ops.pallas.decode_layer import prepare_lm_fold
+
+            lm = self.dec_params.get(
+                "lm_head", self.dec_params.get("lm_head_q")
+            )
+            if lm is not None:
+                w, s = prepare_lm_fold(
+                    lm, self.dec_params.get("lm_head_s")
+                )
+                self.dec_params["lm_fold_w"] = w
+                self.dec_params["lm_fold_s"] = s
+
         # int8 KV slab (opt-in): HALF the per-step slab HBM stream and
         # double the slot capacity; per-(layer,example,head,slot)
         # symmetric scales, dequantized at the attention site. The

@@ -421,3 +421,44 @@ def test_split_ffn_with_folded_lm_matches_scan_argmax(rng, monkeypatch):
         np.asarray(cache_fused.k), np.asarray(cache_scan.k),
         atol=1e-5, rtol=1e-5,
     )
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_prepared_lm_fold_matches_unprepared(rng, monkeypatch, quantized):
+    """Engine-style prepared lm-fold operands (prepare_lm_fold once,
+    lm_fold_w/lm_fold_s in params) emit the same token as in-call prep
+    and as the scan path's argmax."""
+    from qwen3_asr_rs_tpu.ops.pallas.decode_layer import prepare_lm_fold
+
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    if quantized:
+        from qwen3_asr_rs_tpu.weights.quantize import quantize_decoder_params
+
+        params = quantize_decoder_params(params)
+    dec = TextDecoder(cfg, max_position=256)
+
+    cache = KVCache.zeros(cfg, 1, 64, dtype=jnp.float32)
+    cache = KVCache(
+        k=jnp.asarray(rng.standard_normal(cache.k.shape) * 0.1, jnp.float32),
+        v=jnp.asarray(rng.standard_normal(cache.v.shape) * 0.1, jnp.float32),
+    )
+    tok = jnp.asarray([42], jnp.int32)
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "scan")
+    logits, _ = dec.decode_step(params, tok, jnp.int32(37), cache)
+    want = int(jnp.argmax(logits, -1)[0])
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "fused")
+    monkeypatch.setenv("ASR_FOLD_LM", "1")
+    got_incall, _ = dec.decode_step_token(params, tok, jnp.int32(37), cache)
+
+    prepped = dict(params)
+    lm = params.get("lm_head", params.get("lm_head_q"))
+    w, s = prepare_lm_fold(lm, params.get("lm_head_s"))
+    prepped["lm_fold_w"] = w
+    prepped["lm_fold_s"] = s
+    got_prep, _ = dec.decode_step_token(prepped, tok, jnp.int32(37), cache)
+
+    assert int(got_incall[0]) == want
+    assert int(got_prep[0]) == want
