@@ -51,15 +51,16 @@ def run(quantize, fold):
         params = quantize_decoder_params(
             params, bits=8 if quantize == "int8" else 4
         )
-    if fold:
+    if fold:  # "prepared" or "legacy"
         os.environ["ASR_FOLD_LM"] = "1"
-        lm = params.get("lm_head", params.get("lm_head_q"))
-        if lm is None:
-            return None
-        w, s = prepare_lm_fold(lm, params.get("lm_head_s"))
-        params = dict(params)
-        params["lm_fold_w"] = w
-        params["lm_fold_s"] = s
+        if fold == "prepared":
+            lm = params.get("lm_head", params.get("lm_head_q"))
+            if lm is None:
+                return None
+            w, s = prepare_lm_fold(lm, params.get("lm_head_s"))
+            params = dict(params)
+            params["lm_fold_w"] = w
+            params["lm_fold_s"] = s
     else:
         os.environ.pop("ASR_FOLD_LM", None)
 
@@ -97,7 +98,7 @@ def run(quantize, fold):
         ts.append(time.perf_counter() - t0)
     per_tok = (min(ts) - base) / STEPS * 1000
     label = quantize or "bf16"
-    print(f"{label:5s} fold={int(fold)}: {per_tok:.3f} ms/token "
+    print(f"{label:5s} fold={fold or 0}: {per_tok:.3f} ms/token "
           f"(raw {[round(t*1000) for t in ts]}, rtt {base*1000:.0f} ms)")
     return per_tok
 
@@ -107,14 +108,14 @@ def main():
     t0 = time.time()
     out = {}
     for q in (None, "int8"):
-        for fold in (False, True):
+        for fold in (False, "prepared", "legacy"):
             if time.time() - t0 > budget:
                 print("budget exhausted")
                 break
             out[(q, fold)] = run(q, fold)
     for (q, fold), v in out.items():
         if v is not None:
-            print(f"RESULT {q or 'bf16'} fold={int(fold)} {v:.3f} ms/token")
+            print(f"RESULT {q or 'bf16'} fold={fold or 0} {v:.3f} ms/token")
 
 
 if __name__ == "__main__":
