@@ -115,6 +115,43 @@ def _bench_once(engine, config, seconds, num_chunks):
     return median
 
 
+def _emit(rows):
+    """Print the single JSON result line from whatever rows exist."""
+    xrt = rows.get("bf16_xrt_30s_128tok", 0.0)
+    result = {
+        "metric": "throughput_0.6B_greedy_30s_128tok",
+        "value": xrt,
+        "unit": "audio_sec_per_sec_per_chip (xRT)",
+        "vs_baseline": round(xrt / NORTH_STAR_XRT, 3),
+        "extra": rows,
+    }
+    print(json.dumps(result), flush=True)
+
+
+def _arm_watchdog(rows, deadline_s):
+    """Emit partial results and exit if a device call wedges past the
+    hard deadline. A blocked XLA dispatch cannot be interrupted from
+    Python (the tunnel has wedged for >10 min in testing), and a killed
+    process emits NO json — the watchdog thread guarantees one line."""
+    import threading
+
+    def fire():
+        if not rows.get("_done"):
+            rows["error"] = (
+                f"wedged: device call exceeded hard deadline "
+                f"{deadline_s:.0f}s; partial rows only"
+            )
+            _emit(dict(rows))
+            import os
+
+            os._exit(0)
+
+    t = threading.Timer(deadline_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import os
 
@@ -133,8 +170,10 @@ def main():
     params = (enc_params, dec_params)
 
     budget = float(os.environ.get("ASR_BENCH_BUDGET_S", "1500"))
+    hard = float(os.environ.get("ASR_BENCH_HARD_S", str(budget * 1.6)))
     t_start = time.perf_counter()
     rows = {}
+    _arm_watchdog(rows, hard)
     # bf16 headline first; int4 (the best number) before int8 so a
     # budget truncation drops the least informative rows
     for quant in (None, "int4", "int8"):
@@ -158,15 +197,10 @@ def main():
             rows["truncated_at"] = f"{tag}_4s (budget {budget:.0f}s)"
             break
 
-    xrt = rows["bf16_xrt_30s_128tok"]
-    result = {
-        "metric": "throughput_0.6B_greedy_30s_128tok",
-        "value": xrt,
-        "unit": "audio_sec_per_sec_per_chip (xRT)",
-        "vs_baseline": round(xrt / NORTH_STAR_XRT, 3),
-        "extra": rows,
-    }
-    print(json.dumps(result))
+    rows["_done"] = True
+    out = dict(rows)
+    del out["_done"]
+    _emit(out)
 
 
 if __name__ == "__main__":
