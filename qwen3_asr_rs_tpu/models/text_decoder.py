@@ -326,7 +326,7 @@ class TextDecoder:
         h = _linear(layer, "down_w", _gate_up(layer, h))
         return residual + h, kv
 
-    def _run_layers(self, params, hidden, cos, sin, cache):
+    def _run_layers(self, params, hidden, cos, sin, cache, remat=False):
         xs = (
             params["layers"], cache.k, cache.v,
             cache.k_scale, cache.v_scale,
@@ -366,6 +366,13 @@ class TextDecoder:
             h, kv = self._layer(layer, h, cos, sin, (k_c, v_c, ks_c, vs_c))
             return h, kv
 
+        if remat:
+            # training: save only each layer's input, recompute the layer
+            # in the backward pass — activation memory drops from
+            # O(layers) to O(1) layer for ~1/3 extra forward FLOPs
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.nothing_saveable
+            )
         hidden, (k, v, ks, vs) = jax.lax.scan(body, hidden, xs)
         return hidden, KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
 
@@ -1194,12 +1201,19 @@ class TextDecoder:
 
     # ------------------------------------------------------------------ #
 
-    def forward_full(self, params: PyTree, hidden, position_ids):
-        """Cache-free full forward returning all logits (training/tests)."""
+    def forward_full(self, params: PyTree, hidden, position_ids,
+                     remat: bool = False):
+        """Cache-free full forward returning all logits (training/tests).
+
+        ``remat=True`` checkpoints each scanned layer (training memory:
+        backward recomputes layers instead of saving activations).
+        """
         b, s, _ = hidden.shape
         cos, sin = self.rotary.lookup(position_ids)
         cache = KVCache.zeros(self.cfg, b, s, dtype=hidden.dtype)
-        hidden, _ = self._run_layers(params, hidden, cos, sin, cache)
+        hidden, _ = self._run_layers(
+            params, hidden, cos, sin, cache, remat=remat
+        )
         return self.logits(params, hidden)
 
 

@@ -44,6 +44,7 @@ def asr_loss(
     decoder: TextDecoder,
     params: PyTree,
     batch: dict,
+    remat: bool = True,
 ):
     """Causal-LM cross entropy over transcript tokens.
 
@@ -76,7 +77,9 @@ def asr_loss(
     )
     hidden = jnp.where(is_audio[..., None], shifted, tok_embeds)
 
-    logits = decoder.forward_full(dec_p, hidden, pos)  # (B, P, V) f32
+    logits = decoder.forward_full(
+        dec_p, hidden, pos, remat=remat
+    )  # (B, P, V) f32
 
     targets = jnp.roll(token_ids, -1, axis=1)
     mask = batch["loss_mask"].astype(jnp.float32)
@@ -89,14 +92,22 @@ def make_train_step(
     config: AsrConfig,
     optimizer: optax.GradientTransformation,
     max_position: int = 8192,
+    remat: bool = True,
 ) -> Callable:
-    """Build the (un-jitted) train step fn; caller jits with shardings."""
+    """Build the (un-jitted) train step fn; caller jits with shardings.
+
+    ``remat`` (default on) checkpoints each decoder layer: the backward
+    pass recomputes layer activations instead of saving all 28 layers'
+    worth — the standard FLOPs-for-HBM trade for long-sequence training.
+    """
     encoder = AudioEncoder(config.audio)
     decoder = TextDecoder(config.text, max_position=max_position)
 
     def train_step(state: TrainState, batch: dict):
         loss, grads = jax.value_and_grad(
-            lambda prm: asr_loss(config, encoder, decoder, prm, batch)
+            lambda prm: asr_loss(
+                config, encoder, decoder, prm, batch, remat=remat
+            )
         )(state.params)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params

@@ -92,3 +92,29 @@ def test_checkpoint_roundtrip(setup, rng, tmp_path):
     s1, l1 = step_fn(state, batch)
     s2, l2 = step_fn(restored, batch)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_remat_matches_no_remat(rng):
+    """jax.checkpoint'ed layers give the same loss and gradients."""
+    cfg = tiny_test_config()
+    params = {
+        "encoder": init_encoder_params(cfg.audio, dtype=jnp.float32),
+        "decoder": init_decoder_params(cfg.text, dtype=jnp.float32),
+    }
+    batch = make_batch(cfg, 2, np.random.default_rng(0))
+    opt = optax.sgd(1e-3)
+    outs = {}
+    for remat in (False, True):
+        step = make_train_step(cfg, opt, max_position=256, remat=remat)
+        state = TrainState(
+            params=params, opt_state=opt.init(params), step=jnp.int32(0)
+        )
+        new_state, loss = jax.jit(step)(state, batch)
+        outs[remat] = (float(loss), new_state.params)
+    assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        outs[False][1], outs[True][1],
+    )
