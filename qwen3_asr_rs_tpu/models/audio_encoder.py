@@ -69,8 +69,11 @@ def conv_stem_output_time(chunk_frames: int) -> int:
 class AudioEncoder:
     """Stateless encoder; parameters are passed to every call."""
 
-    def __init__(self, cfg: AudioEncoderConfig):
+    def __init__(self, cfg: AudioEncoderConfig, remat: bool = False):
         self.cfg = cfg
+        # training: checkpoint each scanned layer (backward recomputes
+        # instead of saving 18 layers of window activations)
+        self.remat = remat
         self.pos_table = jnp.asarray(
             sinusoid_position_embedding(cfg.max_source_positions, cfg.d_model)
         )
@@ -165,6 +168,10 @@ class AudioEncoder:
             h = self._encoder_layer(layer, h, win_counts)
             return h, None
 
+        if self.remat:
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.nothing_saveable
+            )
         xw, _ = jax.lax.scan(body, xw, params["layers"])
 
         h = layer_norm(xw, params["ln_post_w"], params["ln_post_b"], eps=1e-5)

@@ -100,7 +100,7 @@ def make_train_step(
     pass recomputes layer activations instead of saving all 28 layers'
     worth — the standard FLOPs-for-HBM trade for long-sequence training.
     """
-    encoder = AudioEncoder(config.audio)
+    encoder = AudioEncoder(config.audio, remat=remat)
     decoder = TextDecoder(config.text, max_position=max_position)
 
     def train_step(state: TrainState, batch: dict):
