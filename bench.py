@@ -115,8 +115,19 @@ def _bench_once(engine, config, seconds, num_chunks):
     return median
 
 
+import threading
+
+_emit_lock = threading.Lock()
+_emitted = False
+
+
 def _emit(rows):
-    """Print the single JSON result line from whatever rows exist."""
+    """Print THE single JSON result line (at most once per process)."""
+    global _emitted
+    with _emit_lock:
+        if _emitted:
+            return
+        _emitted = True
     xrt = rows.get("bf16_xrt_30s_128tok", 0.0)
     result = {
         "metric": "throughput_0.6B_greedy_30s_128tok",
@@ -132,19 +143,19 @@ def _arm_watchdog(rows, deadline_s):
     """Emit partial results and exit if a device call wedges past the
     hard deadline. A blocked XLA dispatch cannot be interrupted from
     Python (the tunnel has wedged for >10 min in testing), and a killed
-    process emits NO json — the watchdog thread guarantees one line."""
-    import threading
+    process emits NO json — the watchdog thread guarantees one line.
+    Exit stays 0 on purpose: the JSON carries an "error" row, and a
+    nonzero exit could make the driver discard the partial result."""
 
     def fire():
-        if not rows.get("_done"):
-            rows["error"] = (
-                f"wedged: device call exceeded hard deadline "
-                f"{deadline_s:.0f}s; partial rows only"
-            )
-            _emit(dict(rows))
-            import os
+        rows["error"] = (
+            f"wedged: device call exceeded hard deadline "
+            f"{deadline_s:.0f}s; partial rows only"
+        )
+        _emit(dict(rows))
+        import os
 
-            os._exit(0)
+        os._exit(0)
 
     t = threading.Timer(deadline_s, fire)
     t.daemon = True
@@ -197,10 +208,7 @@ def main():
             rows["truncated_at"] = f"{tag}_4s (budget {budget:.0f}s)"
             break
 
-    rows["_done"] = True
-    out = dict(rows)
-    del out["_done"]
-    _emit(out)
+    _emit(dict(rows))
 
 
 if __name__ == "__main__":

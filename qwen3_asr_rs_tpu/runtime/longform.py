@@ -41,8 +41,12 @@ _CJK_RANGES = (
     "＀-･"   # fullwidth forms incl. ，！？
 )
 _CJK_RE = re.compile(f"[{_CJK_RANGES}]")
-# a unit is one CJK character OR a maximal run of non-space non-CJK text
-_UNIT_RE = re.compile(f"[{_CJK_RANGES}]|[^\\s{_CJK_RANGES}]+")
+# a unit is one CJK character OR a maximal run of non-space non-CJK text.
+# The (?!\s) guard keeps whitespace out of the units: U+3000 IDEOGRAPHIC
+# SPACE falls inside the CJK-symbols range, and a space that counted as
+# a join unit could satisfy best_join's 2-unit credible-match threshold
+# and delete real text on a false join.
+_UNIT_RE = re.compile(f"(?!\\s)[{_CJK_RANGES}]|[^\\s{_CJK_RANGES}]+")
 
 
 def _split_units(text: str) -> list[tuple[str, int]]:

@@ -217,6 +217,14 @@ class ContinuousBatcher:
                     )
         if max_chunks is None:
             max_chunks = min(engine.chunk_buckets[-1], 120)
+        if max_chunks < engine.chunk_buckets[0]:
+            # every request would be rejected as oversized (and warmup
+            # would have no bucket to drive)
+            raise ValueError(
+                f"max_chunks={max_chunks} is below the smallest engine "
+                f"bucket {engine.chunk_buckets[0]}; no request can be "
+                f"admitted"
+            )
         self.max_chunks = max_chunks
 
         cfg = engine.config

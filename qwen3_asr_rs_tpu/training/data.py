@@ -314,9 +314,12 @@ class AsrDataset:
         all hosts build the same global batch schedule from the shared
         seed + per-utterance buckets (manifest ``duration`` or a one-time
         audio probe — unreadable files are excluded identically on every
-        host, assuming a shared dataset), the schedule is padded to a
-        multiple of ``num_shards`` with zero-loss filler batches, and
-        each host takes a strided slice of *batches*, not examples. An
+        host, assuming a shared dataset), each bucket's batch list is
+        padded to a multiple of ``num_shards`` with zero-loss filler
+        batches, the schedule is emitted in bucket-HOMOGENEOUS steps
+        (all ``num_shards`` batches of a step share one bucket shape, so
+        every host runs the same compiled program each step), and each
+        host takes a strided slice of *batches*, not examples. An
         utterance whose audio fails to build mid-epoch is substituted
         with a zero-loss example instead of skipped, so step counts never
         diverge.
@@ -357,8 +360,13 @@ class AsrDataset:
             )
         for epoch in range(epochs):
             order = rng.permutation(len(self.utts))
-            # global, identical-on-every-host batch schedule
-            schedule: list[tuple[int, list[int], bool]] = []
+            # global, identical-on-every-host batch schedule, grouped so
+            # the num_shards batches consumed at one STEP share a bucket:
+            # hosts trace/compile per bucket shape, and multi-host jax
+            # requires every process to run the same program each step —
+            # equal batch COUNTS alone would still desync the first time
+            # host 0 drew a bucket-2 batch while host 1 drew bucket-4.
+            by_bucket: dict[int, list[tuple[int, list[int], bool]]] = {}
             pending_idx: dict[int, list[int]] = {}
             for idx in order:
                 bucket = self._bucket_of(int(idx))
@@ -367,16 +375,28 @@ class AsrDataset:
                 group = pending_idx.setdefault(bucket, [])
                 group.append(int(idx))
                 if len(group) == self.batch_size:
-                    schedule.append((bucket, group, False))
+                    by_bucket.setdefault(bucket, []).append(
+                        (bucket, group, False)
+                    )
                     pending_idx[bucket] = []
             if not self.drop_last:
                 for bucket, group in pending_idx.items():
                     if group:
-                        schedule.append((bucket, group, False))
-            # pad to a shard multiple with zero-loss filler batches
-            while schedule and len(schedule) % self.num_shards:
-                bucket, group, _ = schedule[-1]
-                schedule.append((bucket, group, True))
+                        by_bucket.setdefault(bucket, []).append(
+                            (bucket, group, False)
+                        )
+            # pad each bucket's batch list to a shard multiple with
+            # zero-loss fillers, then emit bucket-homogeneous steps
+            steps: list[list[tuple[int, list[int], bool]]] = []
+            for bucket in sorted(by_bucket):
+                blist = by_bucket[bucket]
+                while len(blist) % self.num_shards:
+                    blist.append((bucket, blist[-1][1], True))
+                for i in range(0, len(blist), self.num_shards):
+                    steps.append(blist[i : i + self.num_shards])
+            # shuffle at step granularity (same rng state on every host)
+            rng.shuffle(steps)
+            schedule = [b for step in steps for b in step]
             for bucket, idxs, zero_loss in schedule[
                 self.shard_index :: self.num_shards
             ]:

@@ -112,9 +112,13 @@ def _put_tree(tree: PyTree, device) -> PyTree:
 
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     placed: Dict[int, Any] = {}
-    out = [
-        placed.setdefault(id(x), jax.device_put(x, device)) for x in leaves
-    ]
+    out = []
+    for x in leaves:
+        # NOT dict.setdefault(id(x), device_put(x)): the default argument
+        # is evaluated eagerly, which would transfer every duplicate
+        if id(x) not in placed:
+            placed[id(x)] = jax.device_put(x, device)
+        out.append(placed[id(x)])
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

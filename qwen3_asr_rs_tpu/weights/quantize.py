@@ -139,6 +139,11 @@ def quantize_decoder_params(
         out["lm_head_q"] = lm_q
         out["lm_head_s"] = lm_s.astype(jnp.float32)
     del out["lm_head"]
+    # engine-prepared lm-fold operands are derived from the lm_head this
+    # function just replaced; a stale bf16 copy must not survive (dead
+    # HBM weight + wrong-dtype folded tiles). The caller re-prepares.
+    out.pop("lm_fold_w", None)
+    out.pop("lm_fold_s", None)
     return out
 
 
@@ -155,6 +160,8 @@ def quantize_lm_head_only(params: PyTree) -> PyTree:
     out["lm_head_q"] = lm_q
     out["lm_head_s"] = lm_s.astype(jnp.float32)
     del out["lm_head"]
+    out.pop("lm_fold_w", None)  # stale: derived from the replaced lm_head
+    out.pop("lm_fold_s", None)
     return out
 
 

@@ -97,3 +97,19 @@ def test_stitch_cjk_boundary_garble():
     out = stitch(segs)
     assert out.count("去公园玩耍") == 1
     assert out.endswith("然后回家吃饭")
+
+
+def test_ideographic_space_is_not_a_join_unit():
+    """U+3000 sits in the CJK-symbols range but is whitespace: it must
+    not count toward best_join's credible-match threshold (a false join
+    deletes real text)."""
+    from qwen3_asr_rs_tpu.runtime.longform import _split_units, stitch
+
+    units = [u for u, _ in _split_units("。　好的")]
+    assert "　" not in units
+    # prev ends with [。 好的近况], next starts [　好，...]: only the
+    # single unit 好 matches -> below threshold, nothing deleted
+    prev = "。　好的近况"
+    nxt = "　好，那我们"
+    out = stitch([prev, nxt])
+    assert "好的近况" in out

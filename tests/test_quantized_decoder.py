@@ -273,3 +273,23 @@ def test_engine_with_lm8_quantization(rng):
     samples = (rng.standard_normal(16000) * 0.1).astype(np.float32)
     out = eng.transcribe_samples(samples)
     assert isinstance(out.text, str)
+
+
+def test_quantize_strips_stale_lm_fold_operands(rng):
+    """Engine-prepared lm_fold_* keys are derived from the lm_head the
+    quantizers replace; a stale bf16 copy must not survive."""
+    from qwen3_asr_rs_tpu.config import tiny_test_config
+    from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
+    from qwen3_asr_rs_tpu.ops.pallas.decode_layer import prepare_lm_fold
+    from qwen3_asr_rs_tpu.weights.quantize import (
+        quantize_decoder_params, quantize_lm_head_only,
+    )
+
+    params = init_decoder_params(tiny_test_config().text, dtype=jnp.float32)
+    w, s = prepare_lm_fold(params["lm_head"])
+    params = dict(params)
+    params["lm_fold_w"], params["lm_fold_s"] = w, s
+    q8 = quantize_decoder_params(params)
+    assert "lm_fold_w" not in q8 and "lm_fold_s" not in q8
+    lm8 = quantize_lm_head_only(params)
+    assert "lm_fold_w" not in lm8 and "lm_fold_s" not in lm8

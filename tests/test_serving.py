@@ -357,3 +357,9 @@ def test_warmup_compiles_and_leaves_batcher_idle(rng):
     _drive(batcher, lambda: req.event.is_set())
     offline = eng.transcribe_samples(samples)
     assert req.result.raw_output == offline.raw_output
+
+
+def test_max_chunks_below_smallest_bucket_rejected(rng):
+    eng, *_ = make_engine(max_new=4)
+    with pytest.raises(ValueError, match="smallest engine bucket"):
+        ContinuousBatcher(eng, n_slots=1, max_chunks=1)

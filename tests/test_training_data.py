@@ -349,3 +349,32 @@ def test_async_checkpointer_best_k(tmp_path):
     restored = ck.restore_best(state)
     assert int(restored.step) == 2
     ck.close()
+
+
+def test_sharded_steps_are_bucket_homogeneous(tmp_path, rng):
+    """At every global step, all shards' batches share ONE chunk bucket:
+    multi-host jax requires every process to run the same compiled
+    program per step, so equal batch counts alone are not enough."""
+    import json as _json
+
+    rows = []
+    for i, n in enumerate([8000, 16000, 50000, 9000, 60000, 7000, 55000]):
+        p = tmp_path / f"clip{i}.wav"
+        write_wav_pcm16(p, (rng.standard_normal(n) * 0.1), 16000)
+        rows.append({"audio": p.name, "text": f"hello {i}"})
+    manifest = tmp_path / "train.jsonl"
+    manifest.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    kw = dict(
+        tokenizer=MockTokenizer(), config=tiny_test_config(),
+        chunk_buckets=(2, 4), batch_size=1, max_text_tokens=16, seed=3,
+    )
+    per_shard = []
+    for i in range(2):
+        ds = AsrDataset(manifest, shard_index=i, num_shards=2, **kw)
+        per_shard.append(
+            [b["mel"].shape[-1] for b in ds.batches(epochs=2)]
+        )
+    assert len(per_shard[0]) == len(per_shard[1])
+    assert per_shard[0] == per_shard[1]  # same bucket shape every step
+    assert len(set(per_shard[0])) > 1   # corpus genuinely spans buckets
