@@ -775,10 +775,14 @@ class TextDecoder:
         With ASR_FOLD_LM=1 and the megakernel eligible, the final RMSNorm
         + lm_head matvec + argmax are folded into the same pallas_call
         (extra vocab-tile grid steps) so no logits tensor round-trips
-        HBM. Folding stays opt-in: RTT-corrected on-chip A/B measured it
-        SLOWER (int4 0.80 -> 1.26, int8 0.95 -> 1.45 ms/token) — the
-        per-tile running (max, argmax) VPU work exceeds the XLA matvec
-        it replaces. Default: decode_step + XLA argmax (identical
+        HBM. The engine prepares the padded lm operands once
+        (prepare_lm_fold); without that, the in-call transpose/pad put a
+        full lm_head copy in the decode loop (round-2's "fold is slower"
+        was entirely that copy). With prepared operands the fold is at
+        parity with the separate XLA matvec+argmax (scripts/bench_fold.py,
+        round 3: bf16 1.74 vs 1.73, int8 1.00 vs 0.98 ms/token), so it
+        stays opt-in — parity does not pay for the duplicate padded
+        lm_head in HBM. Default: decode_step + XLA argmax (identical
         semantics).
         Returns (token_ids (B,) int32, cache).
         """

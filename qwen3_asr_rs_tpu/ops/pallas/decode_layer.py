@@ -30,9 +30,15 @@ final-norm + lm_head + argmax — in a single pallas_call:
     extra grid steps stream lm_head vocab tiles and track a running
     (max, argmax) over logits, so decode emits the NEXT TOKEN ID
     directly. Tie-breaking matches jnp.argmax (first max index).
-    OFF by default: RTT-corrected A/B on chip measured folding SLOWER
-    (int4 0.80 -> 1.26, int8 0.95 -> 1.45 ms/token) — the per-tile
-    running (max, argmax) VPU work exceeds the XLA matvec it replaces;
+    Callers MUST pass prepare_lm_fold operands (lm_prepared=True): the
+    in-call transpose/pad is NOT hoisted out of a surrounding decode
+    loop by XLA on TPU — round-2 measured fold "slower" (int8 0.98 ->
+    1.51 ms/token) and the entire delta was that per-token lm_head
+    copy (0.5 ms == 2x155 MB at stream rate; bf16: 0.96 ms == 2x311
+    MB). With prepared operands fold measures parity with the separate
+    XLA matvec+argmax (bf16 1.74 vs 1.73, int8 1.00 vs 0.98, round 3)
+    — it stays OFF by default because parity does not pay for the
+    duplicate padded lm_head copy in HBM;
   * the whole batch is processed per layer (weights stream ONCE per step
     regardless of batch size); hidden state lives in VMEM scratch;
   * per-layer fresh K/V are kernel outputs, written back to the slab by
