@@ -123,10 +123,17 @@ class AsrEngine:
             # cleanly; note the tp int4 path dequantizes through XLA
             # (weights rest int4 in HBM but materialize per step), so
             # int8 remains the recommended tp precision for speed.
+            # ASR_MERGE_QKV=0 keeps per-projection int8 weights: the
+            # megakernel's layer-split mode (ffn_tiles > 1, big models)
+            # requires unmerged params, so this is the knob for int8
+            # layer-split experiments at 1.7B-class sizes.
+            merge = mesh_tp == 1 and os.environ.get(
+                "ASR_MERGE_QKV", "1"
+            ) != "0"
             self.dec_params = quantize_decoder_params(
                 self.dec_params,
                 bits=4 if quantize == "int4" else 8,
-                merge=mesh_tp == 1,
+                merge=merge,
                 tp_blocks=mesh_tp if quantize == "int4" else 1,
             )
         elif quantize == "lm8":

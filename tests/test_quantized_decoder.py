@@ -293,3 +293,45 @@ def test_quantize_strips_stale_lm_fold_operands(rng):
     assert "lm_fold_w" not in q8 and "lm_fold_s" not in q8
     lm8 = quantize_lm_head_only(params)
     assert "lm_fold_w" not in lm8 and "lm_fold_s" not in lm8
+
+
+def test_engine_merge_qkv_env_override(rng, monkeypatch):
+    """ASR_MERGE_QKV=0 keeps per-projection int8 weights (required for
+    the megakernel's layer-split mode at 1.7B-class sizes)."""
+    import dataclasses
+
+    from qwen3_asr_rs_tpu.config import tiny_test_config
+    from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+    from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
+    from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+
+    cfg = tiny_test_config()
+    text = dataclasses.replace(cfg.text, vocab_size=151936)
+    cfg = dataclasses.replace(
+        cfg,
+        thinker_config=dataclasses.replace(cfg.thinker_config,
+                                           text_config=text),
+    )
+    enc = init_encoder_params(cfg.audio, dtype=jnp.float32)
+    dec = init_decoder_params(cfg.text, dtype=jnp.float32)
+
+    class _Tok:
+        def encode(self, t):
+            return [101]
+
+        def decode(self, ids):
+            return ""
+
+    def build():
+        return AsrEngine(
+            model_dir=None, dtype=jnp.float32, max_new_tokens=2,
+            chunk_buckets=(2,), config=cfg, params=(enc, dec),
+            tokenizer=_Tok(), quantize="int8",
+        )
+
+    merged = build()
+    assert "qkv_w_q" in merged.dec_params["layers"]
+    monkeypatch.setenv("ASR_MERGE_QKV", "0")
+    unmerged = build()
+    assert "qkv_w_q" not in unmerged.dec_params["layers"]
+    assert "q_w_q" in unmerged.dec_params["layers"]
