@@ -4,6 +4,12 @@ POST /transcribe with a WAV (or any decodable) body, optional
 ``?language=`` and ``?max_new=`` query params -> JSON
 {"language", "text"}. GET /healthz for liveness.
 
+POST /v1/audio/transcriptions is an OpenAI-compatible route:
+multipart/form-data with a ``file`` field (plus optional ``language``,
+``response_format`` = ``json`` (default) | ``text`` | ``verbose_json``)
+-> ``{"text": ...}`` / plain text / ``{"task", "language", "text"}``,
+so existing Whisper-API clients can point at this server unchanged.
+
 Scheduling is continuous batching (runtime/serving.py): requests are
 admitted into decode slots at segment boundaries and returned the moment
 their own decode finishes — a short clip is never held hostage by a long
@@ -53,6 +59,44 @@ class BatchingWorker(ServingLoop):
         self.batcher.submit(req)
 
 
+def _parse_multipart(content_type: str, body: bytes) -> dict:
+    """Tiny multipart/form-data parser (stdlib only).
+
+    Returns {field_name: bytes}. File fields keep raw bytes; text fields
+    stay bytes too (callers decode). Tolerates \\r\\n and bare \\n part
+    separators; rejects bodies without the declared boundary.
+    """
+    m = None
+    for piece in content_type.split(";"):
+        piece = piece.strip()
+        if piece.startswith("boundary="):
+            m = piece[len("boundary="):].strip('"')
+    if not m:
+        raise ValueError("multipart/form-data with boundary required")
+    delim = b"--" + m.encode()
+    fields: dict = {}
+    for part in body.split(delim):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        for sep in (b"\r\n\r\n", b"\n\n"):
+            if sep in part:
+                raw_headers, content = part.split(sep, 1)
+                break
+        else:
+            continue
+        name = None
+        for line in raw_headers.decode("utf-8", "replace").splitlines():
+            if line.lower().startswith("content-disposition"):
+                for attr in line.split(";"):
+                    attr = attr.strip()
+                    if attr.startswith("name="):
+                        name = attr[len("name="):].strip('"')
+        if name:
+            fields[name] = content
+    return fields
+
+
 def make_handler(worker: BatchingWorker):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -66,31 +110,82 @@ def make_handler(worker: BatchingWorker):
 
         def do_POST(self):
             parsed = urlparse(self.path)
-            if parsed.path != "/transcribe":
+            if parsed.path == "/transcribe":
+                self._transcribe(parsed)
+            elif parsed.path == "/v1/audio/transcriptions":
+                self._openai_transcriptions()
+            else:
                 self._json(404, {"error": "not found"})
-                return
+
+        def _run(self, body, language, max_new=None):
+            with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                f.write(body)
+                f.flush()
+                samples = load_audio(f.name, 16000)
+            req = Request(samples, language, max_new_tokens=max_new)
+            worker.submit(req)
+            return req.wait()
+
+        def _transcribe(self, parsed):
             qs = parse_qs(parsed.query)
             language = qs.get("language", [None])[0]
             max_new = qs.get("max_new", [None])[0]
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             try:
-                with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                    f.write(body)
-                    f.flush()
-                    samples = load_audio(f.name, 16000)
-                req = Request(
-                    samples, language,
-                    max_new_tokens=int(max_new) if max_new else None,
+                result = self._run(
+                    body, language, int(max_new) if max_new else None
                 )
-                worker.submit(req)
-                result = req.wait()
                 self._json(200, {
                     "language": result.language,
                     "text": result.text,
                 })
             except Exception as e:  # noqa: BLE001
                 self._json(400, {"error": str(e)})
+
+        def _openai_transcriptions(self):
+            """OpenAI Whisper-API-compatible route (multipart form)."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                fields = _parse_multipart(
+                    self.headers.get("Content-Type", ""), body
+                )
+                if "file" not in fields:
+                    self._json(
+                        400,
+                        {"error": {"message": "missing 'file' field",
+                                   "type": "invalid_request_error"}},
+                    )
+                    return
+                language = fields.get("language")
+                if isinstance(language, bytes):
+                    language = language.decode()
+                fmt = fields.get("response_format", b"json")
+                if isinstance(fmt, bytes):
+                    fmt = fmt.decode()
+                result = self._run(fields["file"], language or None)
+                if fmt == "text":
+                    data = (result.text + "\n").encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif fmt == "verbose_json":
+                    self._json(200, {
+                        "task": "transcribe",
+                        "language": result.language,
+                        "text": result.text,
+                    })
+                else:
+                    self._json(200, {"text": result.text})
+            except Exception as e:  # noqa: BLE001
+                self._json(
+                    400,
+                    {"error": {"message": str(e),
+                               "type": "invalid_request_error"}},
+                )
 
         def _json(self, code, obj):
             data = json.dumps(obj).encode()
@@ -105,7 +200,7 @@ def make_handler(worker: BatchingWorker):
 
 def serve(engine: AsrEngine, host: str = "0.0.0.0", port: int = 8080,
           batch_window_ms: float = 0.0, max_batch: int = 8,
-          compute_on_main: bool = True):
+          compute_on_main: bool = True, warmup: bool = True):
     """Run the continuous-batching HTTP server (blocking).
 
     By default the BATCHER runs on the calling thread and HTTP serves
@@ -114,8 +209,16 @@ def serve(engine: AsrEngine, host: str = "0.0.0.0", port: int = 8080,
     secondary thread, and the serving loop compiles a graph per bucket
     on first use. ``compute_on_main=False`` restores the inverse
     arrangement (HTTP on the calling thread, batcher in the background).
+
+    ``warmup`` (default on) precompiles every bucket + decode-segment
+    graph before the port opens, so the first live request never eats a
+    cold compile (and with the persistent compilation cache, a restart's
+    warmup is mostly disk reads).
     """
     worker = BatchingWorker(engine, batch_window_ms, max_batch)
+    if warmup:
+        logger.info("warmup: precompiling bucket + segment graphs")
+        worker.batcher.warmup()
     server = ThreadingHTTPServer((host, port), make_handler(worker))
     logger.info("serving on %s:%d", host, port)
     if compute_on_main:

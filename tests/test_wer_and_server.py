@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -88,3 +89,70 @@ def test_concurrent_requests_batched(server, tmp_path, rng):
     assert all("text" in r for r in results)
     # identical audio -> identical transcription regardless of batching
     assert len({r["text"] for r in results}) == 1
+
+
+@pytest.mark.slow
+def test_openai_transcriptions_endpoint(server, tmp_path, rng):
+    """OpenAI Whisper-API route: multipart file upload, three formats."""
+    from test_audio_io import write_wav_pcm16
+
+    wav = tmp_path / "oai.wav"
+    write_wav_pcm16(wav, rng.standard_normal(16000) * 0.1, 16000)
+    audio = wav.read_bytes()
+
+    def post(extra_fields):
+        boundary = "testboundary42"
+        parts = []
+        for name, val in extra_fields.items():
+            parts.append(
+                f"--{boundary}\r\nContent-Disposition: form-data; "
+                f'name="{name}"\r\n\r\n{val}\r\n'.encode()
+            )
+        parts.append(
+            f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="file"; filename="a.wav"\r\n'
+            f"Content-Type: audio/wav\r\n\r\n".encode()
+            + audio + b"\r\n"
+        )
+        parts.append(f"--{boundary}--\r\n".encode())
+        body = b"".join(parts)
+        req = urllib.request.Request(
+            f"{server}/v1/audio/transcriptions", data=body, method="POST",
+            headers={
+                "Content-Type":
+                    f"multipart/form-data; boundary={boundary}",
+            },
+        )
+        return urllib.request.urlopen(req, timeout=300)
+
+    with post({}) as r:
+        out = json.loads(r.read())
+        assert "text" in out
+
+    with post({"response_format": "verbose_json"}) as r:
+        out = json.loads(r.read())
+        assert out["task"] == "transcribe"
+        assert "language" in out and "text" in out
+
+    with post({"response_format": "text"}) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        r.read()
+
+    # missing file field -> OpenAI-style error object
+    boundary = "b0"
+    body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="language"\r\n\r\nenglish\r\n--{boundary}--\r\n'
+            ).encode()
+    req = urllib.request.Request(
+        f"{server}/v1/audio/transcriptions", data=body, method="POST",
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert json.loads(e.read())["error"]["type"] == (
+            "invalid_request_error"
+        )
