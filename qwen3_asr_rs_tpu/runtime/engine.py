@@ -521,6 +521,31 @@ class AsrEngine:
         """Transcribe mono 16 kHz f32 samples (single bucketed dispatch)."""
         return self.transcribe_batch([samples], [language])[0]
 
+    def warmup(self, buckets: Optional[Sequence[int]] = None,
+               batch_sizes: Sequence[int] = (1,)) -> None:
+        """Precompile transcribe graphs before serving traffic.
+
+        Runs a silent clip per (audio bucket x batch size), compiling
+        each fused graph; with the persistent compilation cache this is
+        mostly disk reads on a restart. Servers that use the
+        ContinuousBatcher have their own ``warmup()`` (segment graphs);
+        this one covers the offline/batch API and the CLI path.
+        """
+        cf = self.config.audio.chunk_frames
+        if buckets is None:
+            buckets = self.chunk_buckets
+        for c in buckets:
+            clip = np.zeros(int(c * cf * 160), np.float32)
+            for b in batch_sizes:
+                # the graph is compiled for the engine's real max_new
+                # (a smaller cap would compile a DIFFERENT graph); on
+                # random weights the silent clip decodes to the cap,
+                # with real weights EOS usually cuts it short
+                self.transcribe_batch([clip] * b)
+                logger.info(
+                    "warmup: bucket %d chunks, batch %d compiled", c, b
+                )
+
     def transcribe_batch(
         self,
         samples_list: list,

@@ -134,3 +134,19 @@ def test_segmented_decode_token_parity(rng, monkeypatch):
     rng.bit_generator.state = rng_state
     single_stage = run(1024)  # one stage
     assert segmented == single_stage
+
+
+def test_engine_warmup_compiles_buckets(rng):
+    """warmup() drives every bucket; subsequent transcribes reuse the
+    compiled graphs (graph cache keys present) and results still match
+    a fresh engine."""
+    from test_engine_e2e import make_engine
+
+    eng, *_ = make_engine(max_new=3)
+    eng.warmup()
+    assert len(eng._graphs) >= len(eng.chunk_buckets)
+
+    samples = (rng.standard_normal(20000) * 0.1).astype(np.float32)
+    warm = eng.transcribe_samples(samples)
+    fresh, *_ = make_engine(max_new=3)
+    assert warm.raw_output == fresh.transcribe_samples(samples).raw_output
