@@ -148,6 +148,9 @@ def _arm_watchdog(rows, deadline_s):
     nonzero exit could make the driver discard the partial result."""
 
     def fire():
+        with _emit_lock:
+            if _emitted:
+                return  # bench finished; never kill an importing caller
         rows["error"] = (
             f"wedged: device call exceeded hard deadline "
             f"{deadline_s:.0f}s; partial rows only"
@@ -184,7 +187,7 @@ def main():
     hard = float(os.environ.get("ASR_BENCH_HARD_S", str(budget * 1.6)))
     t_start = time.perf_counter()
     rows = {}
-    _arm_watchdog(rows, hard)
+    watchdog = _arm_watchdog(rows, hard)
     # bf16 headline first; int4 (the best number) before int8 so a
     # budget truncation drops the least informative rows
     for quant in (None, "int4", "int8"):
@@ -209,6 +212,7 @@ def main():
             break
 
     _emit(dict(rows))
+    watchdog.cancel()
 
 
 if __name__ == "__main__":

@@ -530,10 +530,14 @@ class AsrEngine:
         mostly disk reads on a restart. Servers that use the
         ContinuousBatcher have their own ``warmup()`` (segment graphs);
         this one covers the offline/batch API and the CLI path.
+
+        Defaults to buckets up to 2 min of audio: the 240/360-chunk
+        long-form graphs are expensive to compile AND the silent clip
+        decodes to the cap — pass ``buckets`` explicitly to warm those.
         """
         cf = self.config.audio.chunk_frames
         if buckets is None:
-            buckets = self.chunk_buckets
+            buckets = [c for c in self.chunk_buckets if c <= 120]
         for c in buckets:
             clip = np.zeros(int(c * cf * 160), np.float32)
             for b in batch_sizes:

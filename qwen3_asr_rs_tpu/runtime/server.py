@@ -35,6 +35,10 @@ from .serving import ContinuousBatcher, Request, ServingLoop
 logger = logging.getLogger(__name__)
 
 
+class _ServerFault(RuntimeError):
+    """A failure after the request was accepted -> HTTP 500."""
+
+
 class BatchingWorker(ServingLoop):
     """Continuous-batching worker (name kept from the round-1 coalescer).
 
@@ -60,40 +64,24 @@ class BatchingWorker(ServingLoop):
 
 
 def _parse_multipart(content_type: str, body: bytes) -> dict:
-    """Tiny multipart/form-data parser (stdlib only).
+    """multipart/form-data -> {field_name: bytes} via the stdlib email
+    parser (binary-exact payloads: a hand-rolled splitter was measured
+    to strip trailing 0x0A/0x0D bytes from uploaded audio)."""
+    import email.parser
+    import email.policy
 
-    Returns {field_name: bytes}. File fields keep raw bytes; text fields
-    stay bytes too (callers decode). Tolerates \\r\\n and bare \\n part
-    separators; rejects bodies without the declared boundary.
-    """
-    m = None
-    for piece in content_type.split(";"):
-        piece = piece.strip()
-        if piece.startswith("boundary="):
-            m = piece[len("boundary="):].strip('"')
-    if not m:
+    if "boundary=" not in content_type:
         raise ValueError("multipart/form-data with boundary required")
-    delim = b"--" + m.encode()
+    msg = email.parser.BytesParser(policy=email.policy.HTTP).parsebytes(
+        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body
+    )
+    if not msg.is_multipart():
+        raise ValueError("malformed multipart body")
     fields: dict = {}
-    for part in body.split(delim):
-        part = part.strip(b"\r\n")
-        if not part or part == b"--":
-            continue
-        for sep in (b"\r\n\r\n", b"\n\n"):
-            if sep in part:
-                raw_headers, content = part.split(sep, 1)
-                break
-        else:
-            continue
-        name = None
-        for line in raw_headers.decode("utf-8", "replace").splitlines():
-            if line.lower().startswith("content-disposition"):
-                for attr in line.split(";"):
-                    attr = attr.strip()
-                    if attr.startswith("name="):
-                        name = attr[len("name="):].strip('"')
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
         if name:
-            fields[name] = content
+            fields[name] = part.get_payload(decode=True)
     return fields
 
 
@@ -124,7 +112,14 @@ def make_handler(worker: BatchingWorker):
                 samples = load_audio(f.name, 16000)
             req = Request(samples, language, max_new_tokens=max_new)
             worker.submit(req)
-            return req.wait()
+            try:
+                return req.wait()
+            except ValueError:
+                raise  # per-request validation (e.g. over-long prompt)
+            except Exception as e:
+                # the request was accepted; a failure here (serving loop
+                # death, device fault) is the server's, not the client's
+                raise _ServerFault(str(e)) from e
 
         def _transcribe(self, parsed):
             qs = parse_qs(parsed.query)
@@ -140,11 +135,19 @@ def make_handler(worker: BatchingWorker):
                     "language": result.language,
                     "text": result.text,
                 })
+            except _ServerFault as e:
+                self._json(500, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
                 self._json(400, {"error": str(e)})
 
         def _openai_transcriptions(self):
-            """OpenAI Whisper-API-compatible route (multipart form)."""
+            """OpenAI Whisper-API-compatible route (multipart form).
+
+            Request-shape problems (bad multipart, missing file,
+            undecodable audio) -> 400 invalid_request_error; failures
+            AFTER the request was accepted (serving loop death) -> 500
+            server_error, so clients retry transient faults.
+            """
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
@@ -180,6 +183,12 @@ def make_handler(worker: BatchingWorker):
                     })
                 else:
                     self._json(200, {"text": result.text})
+            except _ServerFault as e:
+                self._json(
+                    500,
+                    {"error": {"message": str(e),
+                               "type": "server_error"}},
+                )
             except Exception as e:  # noqa: BLE001
                 self._json(
                     400,

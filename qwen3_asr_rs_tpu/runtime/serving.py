@@ -210,13 +210,31 @@ class ContinuousBatcher:
                         engine.mesh.shape.get("tp", 1)
                         if engine.mesh is not None else 1
                     )
-                    self._params_by_precision["int8"] = (
-                        quantize_decoder_params(
-                            engine.dec_params, merge=mesh_tp == 1
-                        )
+                    q8 = quantize_decoder_params(
+                        engine.dec_params, merge=mesh_tp == 1
                     )
+                    if "lm_fold_w" in engine.dec_params:
+                        # the engine folds (ASR_FOLD_LM=1): re-prepare
+                        # the padded operands from the int8 lm_head —
+                        # quantize strips the stale bf16 ones, and an
+                        # unprepared fold puts a per-token lm_head copy
+                        # back into every decode segment
+                        from ..ops.pallas.decode_layer import (
+                            prepare_lm_fold,
+                        )
+
+                        w, s = prepare_lm_fold(
+                            q8["lm_head_q"], q8.get("lm_head_s")
+                        )
+                        q8["lm_fold_w"] = w
+                        q8["lm_fold_s"] = s
+                    self._params_by_precision["int8"] = q8
         if max_chunks is None:
-            max_chunks = min(engine.chunk_buckets[-1], 120)
+            # default: cap serving admission at 2 min of audio, but never
+            # below the smallest bucket (long-form-only engines)
+            max_chunks = max(
+                min(engine.chunk_buckets[-1], 120), engine.chunk_buckets[0]
+            )
         if max_chunks < engine.chunk_buckets[0]:
             # every request would be rejected as oversized (and warmup
             # would have no bucket to drive)

@@ -363,3 +363,55 @@ def test_max_chunks_below_smallest_bucket_rejected(rng):
     eng, *_ = make_engine(max_new=4)
     with pytest.raises(ValueError, match="smallest engine bucket"):
         ContinuousBatcher(eng, n_slots=1, max_chunks=1)
+
+
+def test_auto_precision_repreps_lm_fold(rng, monkeypatch):
+    """With ASR_FOLD_LM=1, the derived int8 param set must carry fresh
+    prepared fold operands (quantize strips the engine's bf16 ones; an
+    unprepared fold would copy the lm_head per decode segment)."""
+    monkeypatch.setenv("ASR_FOLD_LM", "1")
+    eng, *_ = make_engine(max_new=4)
+    assert "lm_fold_w" in eng.dec_params
+    b = ContinuousBatcher(
+        eng, n_slots=2, segment_steps=2, serving_precision="auto"
+    )
+    q8 = b._params_by_precision["int8"]
+    assert "lm_fold_w" in q8
+    assert q8["lm_fold_w"].dtype.name == "int8"
+
+    samples = (rng.standard_normal(20000) * 0.1).astype(np.float32)
+    req = Request(samples)
+    b.submit(req)
+    _drive(b, lambda: req.event.is_set())
+    offline = eng.transcribe_samples(samples)
+    assert req.result.raw_output == offline.raw_output
+
+
+def test_default_max_chunks_clamps_to_smallest_bucket(rng):
+    """Engines whose smallest bucket exceeds 120 chunks must still
+    construct a batcher with default arguments."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from qwen3_asr_rs_tpu.config import tiny_test_config
+    from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+    from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
+    from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+    from test_engine_e2e import MockTokenizer
+
+    cfg = tiny_test_config()
+    text = dataclasses.replace(cfg.text, vocab_size=151936)
+    cfg = dataclasses.replace(
+        cfg, thinker_config=dataclasses.replace(cfg.thinker_config,
+                                                text_config=text)
+    )
+    eng = AsrEngine(
+        model_dir=None, dtype=jnp.float32, max_new_tokens=2,
+        chunk_buckets=(128, 240), config=cfg,
+        params=(init_encoder_params(cfg.audio, dtype=jnp.float32),
+                init_decoder_params(cfg.text, dtype=jnp.float32)),
+        tokenizer=MockTokenizer(),
+    )
+    b = ContinuousBatcher(eng, n_slots=1, segment_steps=1)
+    assert b.max_chunks == 128

@@ -156,3 +156,25 @@ def test_openai_transcriptions_endpoint(server, tmp_path, rng):
         assert json.loads(e.read())["error"]["type"] == (
             "invalid_request_error"
         )
+
+
+def test_parse_multipart_binary_exact():
+    """File bytes ending in 0x0A/0x0D must round-trip exactly (a naive
+    strip-based parser truncated them)."""
+    from qwen3_asr_rs_tpu.runtime.server import _parse_multipart
+
+    payload = b"\x00\x01RIFF\x0a\x0d\x0a"
+    boundary = "bx1"
+    body = (
+        f"--{boundary}\r\nContent-Disposition: form-data; "
+        f'name="file"; filename="a.bin"\r\n'
+        f"Content-Type: application/octet-stream\r\n\r\n".encode()
+        + payload
+        + f"\r\n--{boundary}\r\nContent-Disposition: form-data; "
+        f'name="language"\r\n\r\nenglish\r\n--{boundary}--\r\n'.encode()
+    )
+    fields = _parse_multipart(
+        f"multipart/form-data; boundary={boundary}", body
+    )
+    assert fields["file"] == payload
+    assert fields["language"] == b"english"
