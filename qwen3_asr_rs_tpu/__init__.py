@@ -15,7 +15,7 @@ Design differences from the reference (deliberate, TPU-first):
   * `jax.sharding.Mesh` based tensor/data parallelism for multi-chip
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from .config import AsrConfig, AudioEncoderConfig, TextDecoderConfig, ThinkerConfig
 
