@@ -686,9 +686,13 @@ class TextDecoder:
         )
         forced = int(os.environ.get("ASR_FFN_TILES", "0"))
         if forced:
-            # trust the override (tile alignment is still enforced by
-            # decode_layers_fused itself)
-            if forced > 1 and (merged or int4 or inter % forced):
+            # ineligible overrides degrade to the scan path like every
+            # other ineligible case (decode_layers_fused would RAISE on
+            # a misaligned tile, killing the whole transcribe graph)
+            if forced > 1 and (
+                merged or int4 or inter % forced
+                or (inter // forced) % 128
+            ):
                 return 0
             return forced
         fitting = []

@@ -115,9 +115,18 @@ def attention(
         # materializes the (B, Hq, Sq, Sk) f32 scores (16 * S^2 * 4 B
         # ~ 5 GB at the 360 s bucket's ~9k tokens), flash streams
         # them through VMEM. Auto therefore picks flash only where
-        # the score tensor becomes a multi-GB allocation.
+        # the score tensor becomes a multi-GB allocation — measured in
+        # BYTES (B * Hq * Sq * Sk * 4), not sequence length alone: a
+        # batch-8 prefill at 3k tokens materializes the same 5 GB a
+        # batch-1 9k-token prefill does. ASR_ATTN_THRESHOLD remains the
+        # B=1 equivalent sequence length (default 4096).
         threshold = int(os.environ.get("ASR_ATTN_THRESHOLD", "4096"))
-        impl = "flash" if (on_tpu and sq >= threshold) else "dense"
+        hq = q.shape[2]
+        sk = k.shape[1]
+        score_bytes = b * hq * sq * sk * 4
+        limit_bytes = hq * threshold * threshold * 4
+        impl = "flash" if (on_tpu and score_bytes >= limit_bytes) \
+            else "dense"
 
     if impl == "flash":
         from .pallas.flash_attention import flash_attention

@@ -500,15 +500,23 @@ class AsrEngine:
         """Precompile the fused graph for the given buckets/batch sizes.
 
         Serving deployments call this once at startup so no user request
-        pays a compile. Compilation is incremental: each (bucket, batch)
-        pair is one cached executable.
+        pays a compile; with the persistent compilation cache a
+        restart's warmup is mostly disk reads. Each (bucket, batch)
+        pair is one cached executable, compiled for the engine's real
+        max_new (a smaller cap would compile a DIFFERENT graph) — on
+        random weights the silent clip decodes to the cap, with real
+        weights EOS usually cuts it short.
+
+        Defaults to buckets up to 2 min of audio: the 240/360-chunk
+        long-form graphs are expensive to compile AND decode the cap on
+        silence — pass ``buckets`` explicitly to warm those.
         """
-        buckets = list(buckets if buckets is not None else self.chunk_buckets)
+        if buckets is None:
+            buckets = [c for c in self.chunk_buckets if c <= 120]
         cf = self.config.audio.chunk_frames
         for c in buckets:
+            clip = np.zeros(int(c * cf * 160), np.float32)
             for b in batch_sizes:
-                seconds = c * cf * 160 / 16000
-                clip = np.zeros(int(16000 * seconds), np.float32)
                 with stage_timer(f"warmup_c{c}_b{b}"):
                     self.transcribe_batch([clip] * b)
                 logger.info("warmed bucket %d chunks, batch %d", c, b)
@@ -520,35 +528,6 @@ class AsrEngine:
     ) -> TranscribeResult:
         """Transcribe mono 16 kHz f32 samples (single bucketed dispatch)."""
         return self.transcribe_batch([samples], [language])[0]
-
-    def warmup(self, buckets: Optional[Sequence[int]] = None,
-               batch_sizes: Sequence[int] = (1,)) -> None:
-        """Precompile transcribe graphs before serving traffic.
-
-        Runs a silent clip per (audio bucket x batch size), compiling
-        each fused graph; with the persistent compilation cache this is
-        mostly disk reads on a restart. Servers that use the
-        ContinuousBatcher have their own ``warmup()`` (segment graphs);
-        this one covers the offline/batch API and the CLI path.
-
-        Defaults to buckets up to 2 min of audio: the 240/360-chunk
-        long-form graphs are expensive to compile AND the silent clip
-        decodes to the cap — pass ``buckets`` explicitly to warm those.
-        """
-        cf = self.config.audio.chunk_frames
-        if buckets is None:
-            buckets = [c for c in self.chunk_buckets if c <= 120]
-        for c in buckets:
-            clip = np.zeros(int(c * cf * 160), np.float32)
-            for b in batch_sizes:
-                # the graph is compiled for the engine's real max_new
-                # (a smaller cap would compile a DIFFERENT graph); on
-                # random weights the silent clip decodes to the cap,
-                # with real weights EOS usually cuts it short
-                self.transcribe_batch([clip] * b)
-                logger.info(
-                    "warmup: bucket %d chunks, batch %d compiled", c, b
-                )
 
     def transcribe_batch(
         self,

@@ -210,8 +210,11 @@ class ContinuousBatcher:
                         engine.mesh.shape.get("tp", 1)
                         if engine.mesh is not None else 1
                     )
+                    # lm_bits pinned to 8: the serving auto-select
+                    # tables were measured with an int8 lm_head, and an
+                    # ambient ASR_LM_BITS=4 would otherwise leak in
                     q8 = quantize_decoder_params(
-                        engine.dec_params, merge=mesh_tp == 1
+                        engine.dec_params, merge=mesh_tp == 1, lm_bits=8
                     )
                     if "lm_fold_w" in engine.dec_params:
                         # the engine folds (ASR_FOLD_LM=1): re-prepare

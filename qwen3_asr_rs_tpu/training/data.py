@@ -188,13 +188,22 @@ class AsrDataset:
                 self._mel_jit(wave, np.int32(n_true_frames), self._filters)
             )
 
-    def make_example(self, utt: Utterance) -> dict:
-        """One utterance -> unbatched example dict + its bucket."""
+    def make_example(self, utt: Utterance,
+                     min_bucket: Optional[int] = None) -> dict:
+        """One utterance -> unbatched example dict + its bucket.
+
+        ``min_bucket``: never pick a smaller bucket (multi-host builds
+        pass the schedule's probe bucket — a manifest ``duration``
+        rounded slightly low must not change the batch shape; padding
+        up to the scheduled bucket is exact).
+        """
         from ..audio.load import load_audio
 
         samples = load_audio(utt.audio, target_sample_rate=16000)
         n_frames = num_mel_frames(len(samples))
         bucket = self._pick_bucket(n_frames)
+        if min_bucket is not None and min_bucket > bucket:
+            bucket = min_bucket
         cf = self.config.audio.chunk_frames
         wave, n_true = pad_waveform(samples, bucket_frames=bucket * cf)
 
@@ -408,11 +417,15 @@ class AsrDataset:
         group: list[dict] = []
         for idx in idxs:
             try:
-                ex = self.make_example(self.utts[idx])
+                # pad up to the scheduled bucket when the probe's
+                # duration rounded low (exact: bucketing IS padding);
+                # only audio LONGER than the scheduled bucket — a badly
+                # wrong manifest duration — still needs the filler
+                ex = self.make_example(self.utts[idx], min_bucket=bucket)
                 if ex["bucket"] != bucket:
                     raise ValueError(
-                        f"bucket changed between probe ({bucket}) and "
-                        f"build ({ex['bucket']})"
+                        f"audio exceeds scheduled bucket ({bucket} < "
+                        f"{ex['bucket']}); fix the manifest duration"
                     )
             except Exception as e:  # noqa: BLE001 — substitute, not skip
                 logger.warning(

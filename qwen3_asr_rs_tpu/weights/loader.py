@@ -96,6 +96,12 @@ def load_model_params(
         enc = map_encoder_params(tensors, config, dtype)
         dec = map_decoder_params(tensors, config, dtype)
         del tensors
+    if device is None:
+        # COMMIT to CPU: default_device leaves results uncommitted, so
+        # a caller's next jnp op (e.g. host-side quantization before
+        # mesh sharding) would otherwise dispatch on the accelerator
+        # and pull the whole bf16 model onto one device
+        enc, dec = _put_tree((enc, dec), cpu)
     if device == "default":
         device = jax.devices()[0]
         if device.platform == "cpu":

@@ -462,3 +462,21 @@ def test_prepared_lm_fold_matches_unprepared(rng, monkeypatch, quantized):
 
     assert int(got_incall[0]) == want
     assert int(got_prep[0]) == want
+
+
+def test_forced_ffn_tiles_misaligned_falls_back_to_scan(monkeypatch):
+    """A forced ASR_FFN_TILES whose tile is not 128-lane aligned must
+    degrade to the scan path (0), not crash the transcribe graph."""
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    dec = TextDecoder(cfg, max_position=128)
+    cache = KVCache.zeros(cfg, 1, 32, dtype=jnp.float32)
+    inter = cfg.intermediate_size
+    # pick a divisor of inter whose tile width is NOT a multiple of 128
+    forced = next(
+        (n for n in range(2, inter + 1)
+         if inter % n == 0 and (inter // n) % 128), None,
+    )
+    assert forced is not None, "tiny config should have such a divisor"
+    monkeypatch.setenv("ASR_FFN_TILES", str(forced))
+    assert dec._fused_step_tiles(params, 1, cache) == 0

@@ -415,3 +415,17 @@ def test_default_max_chunks_clamps_to_smallest_bucket(rng):
     )
     b = ContinuousBatcher(eng, n_slots=1, segment_steps=1)
     assert b.max_chunks == 128
+
+
+def test_auto_precision_lm_bits_pinned(rng, monkeypatch):
+    """An ambient ASR_LM_BITS=4 must not leak into the serving-derived
+    int8 copy (auto-select tables were measured with an int8 lm_head;
+    with ASR_FOLD_LM it would KeyError at construction)."""
+    monkeypatch.setenv("ASR_LM_BITS", "4")
+    monkeypatch.setenv("ASR_FOLD_LM", "1")
+    eng, *_ = make_engine(max_new=2)
+    b = ContinuousBatcher(
+        eng, n_slots=2, segment_steps=2, serving_precision="auto"
+    )
+    q8 = b._params_by_precision["int8"]
+    assert "lm_head_q" in q8 and "lm_head_q4" not in q8

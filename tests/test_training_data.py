@@ -378,3 +378,29 @@ def test_sharded_steps_are_bucket_homogeneous(tmp_path, rng):
     assert len(per_shard[0]) == len(per_shard[1])
     assert per_shard[0] == per_shard[1]  # same bucket shape every step
     assert len(set(per_shard[0])) > 1   # corpus genuinely spans buckets
+
+
+def test_inaccurate_manifest_duration_still_trains(tmp_path, rng):
+    """A manifest duration that rounds the utterance into a LARGER
+    bucket than its audio must not drop it: the build pads up to the
+    scheduled bucket (exact — bucketing IS padding)."""
+    import json as _json
+
+    p = tmp_path / "clip.wav"
+    write_wav_pcm16(p, (rng.standard_normal(31000) * 0.1), 16000)
+    manifest = tmp_path / "train.jsonl"
+    # true bucket at 31000 samples is 2 chunks; duration 2.6 s probes 4
+    manifest.write_text(_json.dumps(
+        {"audio": p.name, "text": "hello", "duration": 2.6}) + "\n")
+
+    kw = dict(
+        tokenizer=MockTokenizer(), config=tiny_test_config(),
+        chunk_buckets=(2, 4), batch_size=1, max_text_tokens=16, seed=0,
+    )
+    trained = 0
+    for i in range(2):
+        ds = AsrDataset(manifest, shard_index=i, num_shards=2, **kw)
+        for b in ds.batches():
+            if b["loss_mask"].sum() > 0:
+                trained += 1
+    assert trained == 1  # one real batch across both shards, not filler
