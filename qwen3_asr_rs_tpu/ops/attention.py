@@ -26,6 +26,31 @@ import jax.numpy as jnp
 MASK_VALUE = -1e9
 
 
+def auto_attention_impl(b: int, hq: int, sq: int, sk: int,
+                        on_tpu: bool) -> str:
+    """'flash' or 'dense' for the auto dispatch.
+
+    Measured on v5e (0.6B decoder prefill, B=1, 16Q/8KV, D=128): XLA's
+    dense path beats the Pallas flash kernel at EVERY practical length
+    with a ~1.5x constant factor (dense/flash ms: 512: 5.4/8.5, 1024:
+    12.2/24.8, 2048: 46/73, 3072: 95/147 — PERFORMANCE.md round 3c),
+    so speed never selects flash. The kernel's remaining value is
+    MEMORY: dense materializes the (B, Hq, Sq, Sk) f32 scores, flash
+    streams them through VMEM. Auto therefore picks flash only where
+    the score tensor becomes a multi-GB allocation — sized in BYTES
+    (B*Hq*Sq*Sk*4), not sequence length alone: a batch-8 prefill at 3k
+    tokens materializes the same ~5 GB a batch-1 9k-token prefill
+    does. ASR_ATTN_THRESHOLD is the B=1-equivalent sequence length
+    (default 4096).
+    """
+    import os
+
+    threshold = int(os.environ.get("ASR_ATTN_THRESHOLD", "4096"))
+    score_bytes = b * hq * sq * sk * 4
+    limit_bytes = hq * threshold * threshold * 4
+    return "flash" if (on_tpu and score_bytes >= limit_bytes) else "dense"
+
+
 def dense_attention(q, k, v, *, mask=None, scale: float | None = None):
     """Multi-head (optionally grouped-query) scaled dot-product attention.
 
@@ -104,29 +129,10 @@ def attention(
     if impl is None:
         impl = os.environ.get("ASR_ATTN_IMPL", "auto")
     if impl == "auto":
-        b, sq = q.shape[0], q.shape[1]
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        # Measured on v5e (0.6B decoder prefill, B=1, 16Q/8KV, D=128):
-        # XLA's dense path beats the Pallas flash kernel at EVERY
-        # practical length with a ~1.5x constant factor (dense/flash
-        # ms: 512: 5.4/8.5, 1024: 12.2/24.8, 2048: 46/73, 3072:
-        # 95/147 — PERFORMANCE.md round 3c), so speed never selects
-        # flash here. The kernel's remaining value is MEMORY: dense
-        # materializes the (B, Hq, Sq, Sk) f32 scores (16 * S^2 * 4 B
-        # ~ 5 GB at the 360 s bucket's ~9k tokens), flash streams
-        # them through VMEM. Auto therefore picks flash only where
-        # the score tensor becomes a multi-GB allocation — measured in
-        # BYTES (B * Hq * Sq * Sk * 4), not sequence length alone: a
-        # batch-8 prefill at 3k tokens materializes the same 5 GB a
-        # batch-1 9k-token prefill does. ASR_ATTN_THRESHOLD remains the
-        # B=1 equivalent sequence length (default 4096).
-        threshold = int(os.environ.get("ASR_ATTN_THRESHOLD", "4096"))
-        hq = q.shape[2]
-        sk = k.shape[1]
-        score_bytes = b * hq * sq * sk * 4
-        limit_bytes = hq * threshold * threshold * 4
-        impl = "flash" if (on_tpu and score_bytes >= limit_bytes) \
-            else "dense"
+        impl = auto_attention_impl(
+            b=q.shape[0], hq=q.shape[2], sq=q.shape[1], sk=k.shape[1],
+            on_tpu=jax.default_backend() in ("tpu", "axon"),
+        )
 
     if impl == "flash":
         from .pallas.flash_attention import flash_attention

@@ -96,3 +96,19 @@ def test_flash_odd_block_boundaries(rng):
     ref = dense_attention(q, k, v, mask=_mask_from(None, True, b, sq, sk))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_auto_dispatch_is_batch_aware(monkeypatch):
+    """The memory guard triggers on total score-tensor BYTES: a batch-8
+    3k-token prefill materializes the same scores as a batch-1 9k one."""
+    from qwen3_asr_rs_tpu.ops.attention import auto_attention_impl
+
+    monkeypatch.delenv("ASR_ATTN_THRESHOLD", raising=False)
+    # B=1 below the 4096 B=1-equivalent threshold -> dense
+    assert auto_attention_impl(1, 16, 3072, 3072, True) == "dense"
+    # same sequence at batch 8 -> 8x the scores -> flash
+    assert auto_attention_impl(8, 16, 3072, 3072, True) == "flash"
+    # B=1 at the old 360 s bucket scale -> flash
+    assert auto_attention_impl(1, 16, 9000, 9000, True) == "flash"
+    # never flash off-TPU
+    assert auto_attention_impl(8, 16, 9000, 9000, False) == "dense"
