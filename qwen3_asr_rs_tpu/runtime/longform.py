@@ -56,21 +56,30 @@ def _split_units(text: str) -> list[tuple[str, int]]:
     return [(m.group(), m.start()) for m in _UNIT_RE.finditer(text)]
 
 
+MAX_EDGE_NOISE = 2  # garbled units tolerated at a segment boundary
+
+
 def best_join(prev_words: list[str], next_words: list[str],
               search: int = 30) -> tuple[int, int]:
     """Find the best (drop_from_prev_end, drop_from_next_start) join.
 
-    Searches for the longest common contiguous word run between the tail
-    of ``prev_words`` and the head of ``next_words`` (both limited to
-    ``search`` words). Returns word counts to trim from each side so the
-    overlap region appears exactly once. (0, 0) when no overlap is found.
+    Searches for the longest common contiguous unit run ANCHORED at the
+    junction: the match must reach within MAX_EDGE_NOISE units of the
+    previous segment's end and begin within MAX_EDGE_NOISE units of the
+    next segment's start — that is where the audio overlap physically
+    is. An unanchored search deletes real text on repetitive speech
+    (e.g. prev ending in 30x 'yeah': the earliest 5-long match would
+    drop all 30). Ties prefer the LATEST match in the tail (smallest
+    deletion). Returns unit counts to trim from each side so the
+    overlap region appears exactly once; (0, 0) when no credible
+    (>= 2 contiguous units, anchored) match exists.
     """
     tail = prev_words[-search:]
     head = next_words[:search]
-    best_len = 0
+    best_key = None
     best = (0, 0)
     for i in range(len(tail)):
-        for j in range(len(head)):
+        for j in range(min(len(head), MAX_EDGE_NOISE + 1)):
             k = 0
             while (
                 i + k < len(tail)
@@ -78,14 +87,14 @@ def best_join(prev_words: list[str], next_words: list[str],
                 and tail[i + k] == head[j + k]
             ):
                 k += 1
-            if k > best_len:
-                best_len = k
-                # keep the overlap words from the next segment: drop the
-                # matched tail words (and anything after them) from prev,
-                # drop the pre-match words from next
-                best = (len(tail) - i, j)
-    if best_len < 2:  # require a credible match
-        return (0, 0)
+            if k >= 2 and len(tail) - (i + k) <= MAX_EDGE_NOISE:
+                key = (k, i)  # longest run, then latest position
+                if best_key is None or key > best_key:
+                    best_key = key
+                    # keep the overlap words from the next segment:
+                    # drop the matched tail words (and trailing garble)
+                    # from prev, drop the pre-match words from next
+                    best = (len(tail) - i, j)
     return best
 
 

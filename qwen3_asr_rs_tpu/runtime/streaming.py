@@ -21,18 +21,23 @@ at all; the naive re-transcription baseline is O(total audio) per update.
 One subtlety: the Whisper log-mel floors at ``global_max - 8``
 (features/mel.py), a *global* statistic. The session tracks a running max
 over all audio seen (raw_log_mel_max) and feeds it to every window encode;
-if a later update raises the max beyond a tolerance, cached windows are
-invalidated and re-encoded (rare in practice — the max stabilizes at the
-first loud speech). ``finalize()`` always runs an exact full pass, so the
-final transcript is bit-identical to the offline engine.
+if a later update raises the max beyond the ENCODE-TIME max of the
+cached windows by more than a tolerance, they are invalidated and
+re-encoded (rare in practice — the max stabilizes at the first loud
+speech; comparing against the encode-time floor, not the running max,
+keeps a gradual crescendo from ratcheting past the tolerance unnoticed).
 
 Text commitment uses the LocalAgreement policy (commit the common prefix
 of the last N hypotheses); committed text never changes.
 
 Sessions are unbounded: when the audio outgrows the session's KV slab
-capacity, the transcriber commits the current hypothesis and rolls over
-to a fresh session (fixing the round-1 failure where feeds past the
-largest engine bucket raised ValueError forever).
+capacity, the transcriber rolls over BEFORE the oversized update (an
+overshooting prefill would clamp writes past the slab silently),
+commits the finished session's hypothesis, and starts a fresh session
+whose buffer begins with ~2 s of overlap audio; the junction is stitched
+with longform.best_join so boundary words appear exactly once.
+``finalize()`` runs an exact offline pass over the current session's
+audio (bit-identical to the offline engine when no rollover occurred).
 """
 
 from __future__ import annotations
@@ -231,7 +236,14 @@ class StreamingSession:
         self.win_embeds: list = []   # device (window_tokens, H) per window
         self.kv_windows = 0          # windows whose KV rows are committed
         self.session_max = -np.inf   # running raw log10-mel max
+        # mel max the oldest surviving cached window was encoded with:
+        # invalidation compares against THIS, not the running max, so a
+        # gradual rise cannot ratchet past the tolerance unnoticed
+        self.encode_max = -np.inf
         self._win_max: dict[int, float] = {}  # per-window raw max
+        # (wave, n_frames) built this update — reused between the raw-max
+        # scan and the encode so each window ships to the device once
+        self._wave_cache: dict[int, tuple] = {}
         self._zero_embeds = None
         self.last_update_stats: dict = {}
 
@@ -291,32 +303,41 @@ class StreamingSession:
             wave[pad + hop_len : pad + hop_len + pad] = vals
         return wave, n_frames
 
+    def _cached_wave(self, w: int, usable_len: int):
+        # device-resident: the raw-max scan and the encode reuse one
+        # host build AND one H2D transfer per window per update
+        if w not in self._wave_cache:
+            wave, n_frames = self._window_wave(w, usable_len)
+            self._wave_cache[w] = (jnp.asarray(wave), n_frames)
+        return self._wave_cache[w]
+
     def _encode_window(self, w: int, usable_len: int):
-        wave, n_frames = self._window_wave(w, usable_len)
+        wave, n_frames = self._cached_wave(w, usable_len)
         return self.graphs.window_encode(
             self.engine.enc_params,
-            jnp.asarray(wave),
+            wave,
             jnp.int32(n_frames),
             jnp.float32(self.session_max),
         )
 
-    def _update_running_max(self, w_cacheable: int, usable_len: int) -> bool:
+    def _update_running_max(self, usable_len: int) -> bool:
         """Scan new/changed windows for the raw mel max. Returns True if
-        the session max rose beyond tolerance (cache invalidation)."""
+        the max rose beyond tolerance of the ENCODE-TIME max of the
+        cached windows (cache invalidation)."""
         n_total = num_mel_frames(usable_len, HOP)
         last_w = (n_total - 1) // self.window_frames
         first = len(self.win_embeds)
         for w in range(first, last_w + 1):
-            wave, n_frames = self._window_wave(w, usable_len)
+            wave, n_frames = self._cached_wave(w, usable_len)
             m = float(
-                self.graphs.raw_max(jnp.asarray(wave), jnp.int32(n_frames))
+                self.graphs.raw_max(wave, jnp.int32(n_frames))
             )
             self._win_max[w] = m
         new_max = max(self._win_max.values(), default=-np.inf)
         rose = (
             np.isfinite(new_max)
-            and np.isfinite(self.session_max)
-            and new_max > self.session_max + self.MAX_TOLERANCE
+            and np.isfinite(self.encode_max)
+            and new_max > self.encode_max + self.MAX_TOLERANCE
         )
         if new_max > self.session_max:
             self.session_max = new_max
@@ -348,7 +369,13 @@ class StreamingSession:
     def update(self) -> TranscribeResult:
         """Incrementally ingest the buffer; returns the current hypothesis."""
         assert len(self.buffer) >= N_FFT, "need at least one mel frame"
+        assert len(self.buffer) <= self.max_samples, (
+            "buffer exceeds session capacity; the transcriber must roll "
+            "over BEFORE updating (positions past the slab would clamp "
+            "silently)"
+        )
         stats = {"windows_encoded": 0, "chunk_positions": 0}
+        self._wave_cache = {}
 
         # windows are cacheable once their right mel context (40 samples)
         # has arrived; audio past the last full-or-partial window waits
@@ -361,13 +388,16 @@ class StreamingSession:
         )
         n_total_frames = num_mel_frames(usable_len, HOP)
 
-        if self._update_running_max(w_cacheable, usable_len):
+        if self._update_running_max(usable_len):
             logger.info(
                 "stream: mel max rose beyond tolerance; re-encoding "
                 "%d cached windows", len(self.win_embeds),
             )
             self.win_embeds = []
             self.kv_windows = 0
+        if not self.win_embeds:
+            # the floor base for whatever gets cached from here on
+            self.encode_max = self.session_max
 
         # encode newly completed windows
         while len(self.win_embeds) < w_cacheable:
@@ -463,6 +493,7 @@ class StreamingTranscriber:
         sample_rate: int = SAMPLE_RATE,
         max_stream_seconds: Optional[float] = None,
         max_new_tokens: Optional[int] = None,
+        rollover_overlap_s: float = 2.0,
     ):
         self.engine = engine
         self.language = language
@@ -478,11 +509,17 @@ class StreamingTranscriber:
             max_stream_seconds=max_stream_seconds,
             max_new_tokens=max_new_tokens,
         )
+        self.rollover_overlap = int(rollover_overlap_s * sample_rate)
         self.session = StreamingSession(engine, **self._session_args)
         self._since_update = 0
+        # feed() appends here (O(chunk)); buffers concatenate once per
+        # update — per-call np.concatenate made ingest O(session^2)
+        self._pending: list[np.ndarray] = []
+        self._pending_len = 0
         self._hypotheses: list[str] = []
         self._rolled = ""       # text committed by completed sessions
         self._committed = ""    # total committed text (incl. rolled)
+        self._overlap_carried = False  # rolled text overlaps session head
         self._last_result: Optional[TranscribeResult] = None
 
     @property
@@ -492,58 +529,112 @@ class StreamingTranscriber:
     def feed(self, samples: np.ndarray) -> Optional[StreamUpdate]:
         """Add audio; returns an update when a re-transcription ran."""
         samples = np.asarray(samples, np.float32).reshape(-1)
-        self.session.buffer = np.concatenate(
-            [self.session.buffer, samples]
-        )
+        self._pending.append(samples)
+        self._pending_len += len(samples)
         self._since_update += len(samples)
         if self._since_update < self.update_interval:
             return None
         self._since_update = 0
+        self._flush()
         return self._update()
 
+    def _flush(self) -> None:
+        if self._pending:
+            self.session.buffer = np.concatenate(
+                [self.session.buffer, *self._pending]
+            )
+            self._pending = []
+            self._pending_len = 0
+
     def _seconds(self) -> float:
-        return len(self.session.buffer) / self.sample_rate
+        return (
+            len(self.session.buffer) + self._pending_len
+        ) / self.sample_rate
+
+    def _join(self, text: str) -> str:
+        """Rolled text + current-session text.
+
+        After a rollover the new session's buffer STARTS with
+        ``rollover_overlap`` seconds already covered by the rolled text,
+        so the junction is stitched (longform.best_join) instead of
+        concatenated — boundary words appear exactly once, unmangled.
+        """
+        if not self._rolled:
+            return text
+        if self._overlap_carried and text:
+            from .longform import stitch
+
+            return stitch([self._rolled, text])
+        return self._rolled + text
 
     def _update(self) -> StreamUpdate:
         if len(self.session.buffer) < N_FFT:
             return StreamUpdate("", self._committed, self._seconds())
+        prev_committed = self._committed
+        newly_rolled = ""
+        # Roll over BEFORE updating when the buffer exceeds capacity:
+        # an oversized update would prefill past the KV slab (XLA clamps
+        # the writes silently -> garbage that rollover would then commit
+        # permanently). Loops for feeds larger than a whole session.
+        while len(self.session.buffer) > self.session.max_samples:
+            buf = self.session.buffer
+            ws = self.session.window_samples
+            cut = (self.session.max_samples // ws) * ws
+            if cut <= 0:
+                cut = self.session.max_samples
+            remainder = buf[cut:]
+            self.session.buffer = buf[:cut]
+            logger.info(
+                "stream: session capacity reached; rolling over with "
+                "%.1fs overlap", self.rollover_overlap / self.sample_rate,
+            )
+            final = self.session.update()
+            hyp = self._join(final.text)
+            self._rolled = hyp
+            self._committed = hyp
+            self._hypotheses = []
+            overlap = buf[max(0, cut - self.rollover_overlap):cut]
+            if len(overlap) >= cut:
+                # degenerate tiny session: carrying the whole session
+                # forward would never shrink the buffer
+                overlap = overlap[:0]
+            self._overlap_carried = len(overlap) > 0
+            self.session = StreamingSession(
+                self.engine, **self._session_args
+            )
+            self.session.buffer = np.concatenate([overlap, remainder])
+        if len(self._committed) > len(prev_committed):
+            newly_rolled = self._committed[len(prev_committed):]
+
+        if len(self.session.buffer) < N_FFT:
+            return StreamUpdate(
+                newly_rolled, self._committed, self._seconds()
+            )
         result = self.session.update()
         self._last_result = result
-        hyp = self._rolled + result.text
+        hyp = self._join(result.text)
         self._hypotheses.append(hyp)
 
-        newly = ""
+        newly = newly_rolled
         if len(self._hypotheses) >= self.agreement:
             window = self._hypotheses[-self.agreement:]
             stable = common_prefix_len(window)
             if stable > len(self._committed):
-                newly = self._hypotheses[-1][len(self._committed):stable]
+                newly += self._hypotheses[-1][len(self._committed):stable]
                 self._committed = self._hypotheses[-1][:stable]
         logger.debug(
             "stream update: %.1fs audio, hyp %r, committed %r",
             self._seconds(), hyp, self._committed,
         )
-        if self.session.full:
-            self._rollover(hyp)
         return StreamUpdate(
             committed=newly,
             hypothesis=hyp,
             audio_seconds=self._seconds(),
         )
 
-    def _rollover(self, hyp: str) -> None:
-        """Session slab is full: commit everything and start fresh."""
-        logger.info(
-            "stream: session capacity reached at %.0fs; rolling over",
-            self._seconds(),
-        )
-        self._rolled = hyp
-        self._committed = hyp
-        self._hypotheses = []
-        self.session = StreamingSession(self.engine, **self._session_args)
-
     def finalize(self) -> TranscribeResult:
-        """Final full-quality (exact, offline-engine) pass."""
+        """Final full-quality (exact-within-session) pass."""
+        self._flush()
         buffer = self.session.buffer
         if len(buffer) < N_FFT:
             return TranscribeResult(
@@ -557,7 +648,7 @@ class StreamingTranscriber:
             result = transcribe_long(self.engine, buffer, self.language)
         if self._rolled:
             result = TranscribeResult(
-                text=self._rolled + result.text,
+                text=self._join(result.text),
                 language=result.language,
                 raw_output=result.raw_output,
             )

@@ -113,3 +113,24 @@ def test_ideographic_space_is_not_a_join_unit():
     nxt = "　好，那我们"
     out = stitch([prev, nxt])
     assert "好的近况" in out
+
+
+def test_best_join_repetitive_speech_keeps_text():
+    """Unanchored matching used to delete ~25 real words when a phrase
+    repeats: the join must anchor at the junction, trimming only the
+    actual overlap."""
+    prev = ("intro words " + "yeah " * 30).split()
+    nxt = ("yeah " * 5 + "and then we left").split()
+    drop_prev, drop_next = best_join(prev, nxt)
+    merged = (prev[:-drop_prev] if drop_prev else prev) + nxt[drop_next:]
+    # 30 yeahs in prev, 5 of which are the overlap re-heard by next
+    assert merged.count("yeah") == 30
+    assert " ".join(merged).endswith("and then we left")
+
+
+def test_best_join_mid_tail_bigram_not_a_join():
+    """A bigram recurring early in the tail (well before the junction)
+    must not outrank the absence of a genuine overlap."""
+    prev = "we said hello world early on and closed differently".split()
+    nxt = "hello world is how the next clip starts".split()
+    assert best_join(prev, nxt) == (0, 0)

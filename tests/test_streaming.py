@@ -139,3 +139,84 @@ def test_streaming_rollover_past_capacity(rng):
         assert up is not None
     final = stream.finalize()
     assert isinstance(final.text, str)
+
+
+def test_giant_single_feed_rolls_over_safely(rng):
+    """One feed larger than session capacity must roll over BEFORE the
+    update (an oversized update would clamp KV writes past the slab);
+    multiple rollovers in one update are fine."""
+    eng = _wide_engine(max_new=2)
+    stream = StreamingTranscriber(
+        eng, update_interval_s=1.0, max_stream_seconds=8.0,
+        max_new_tokens=2,
+    )
+    chunk = (rng.standard_normal(16000 * 20) * 0.1).astype(np.float32)
+    up = stream.feed(chunk)  # 20 s >> 8 s capacity in ONE feed
+    assert up is not None
+    assert len(stream.session.buffer) <= stream.session.max_samples
+    final = stream.finalize()
+    assert isinstance(final.text, str)
+
+
+def test_rollover_commit_appears_in_update_deltas(rng):
+    """Concatenating StreamUpdate.committed deltas must reconstruct the
+    committed text — the rollover's own commitment included."""
+    eng = _wide_engine(max_new=2)
+    stream = StreamingTranscriber(
+        eng, update_interval_s=2.0, max_stream_seconds=8.0,
+        max_new_tokens=2, agreement=2,
+    )
+    deltas = []
+    for _ in range(10):  # 20 s total: at least one rollover
+        chunk = (rng.standard_normal(32000) * 0.1).astype(np.float32)
+        up = stream.feed(chunk)
+        if up is not None:
+            deltas.append(up.committed)
+    assert "".join(deltas) == stream.committed_text
+
+
+def test_rollover_carries_audio_overlap(rng):
+    """The post-rollover session starts with overlap audio so boundary
+    words are re-heard and stitched, not lost."""
+    eng = _wide_engine(max_new=2)
+    stream = StreamingTranscriber(
+        eng, update_interval_s=2.0, max_stream_seconds=8.0,
+        max_new_tokens=2, rollover_overlap_s=2.0,
+    )
+    for _ in range(6):  # 12 s: one rollover past the 8 s capacity
+        stream.feed((rng.standard_normal(32000) * 0.1).astype(np.float32))
+    assert stream._rolled  # a session completed
+    assert stream._overlap_carried
+    # the new session retains at least the overlap worth of audio
+    assert len(stream.session.buffer) >= stream.rollover_overlap
+
+
+def test_mel_floor_invalidation_uses_encode_time_max(rng):
+    """A gradual mel-max rise (each step under tolerance, total far
+    over) must still re-encode cached windows: the comparison base is
+    the encode-time max, not the ratcheting running max."""
+    from qwen3_asr_rs_tpu.runtime.streaming import StreamingSession
+
+    eng = _wide_engine(max_new=2)
+    session = StreamingSession(eng, max_new_tokens=2)
+    base = _speechlike(rng, 2.0) * 0.001  # quiet start
+    session.buffer = base
+    session.update()
+    assert np.isfinite(session.encode_max)
+    first_encode_max = session.encode_max
+    # grow by one window at a time, each 2.5x louder (~0.4 log10 units,
+    # below the 0.5 tolerance per step; cumulatively far above it)
+    audio = [base]
+    amp = 0.001
+    for step in range(1, 6):
+        amp *= 2.5
+        audio.append(_speechlike(rng, 2.0) * amp)
+        session.buffer = np.concatenate(audio)
+        session.update()
+    # the cached windows' floor must be within tolerance of the running
+    # max (the buggy version ratcheted: encode_max stayed at the quiet
+    # start while session_max rose ~2 log10 units)
+    assert session.session_max - session.encode_max <= (
+        session.MAX_TOLERANCE + 1e-6
+    )
+    assert session.encode_max > first_encode_max
