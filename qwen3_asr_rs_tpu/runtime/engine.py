@@ -159,6 +159,7 @@ class AsrEngine:
         if (
             os.environ.get("ASR_FOLD_LM") == "1"
             and "lm_head_q4" not in self.dec_params
+            and mesh_tp == 1  # tp>1 never runs the fold (prefer_xla)
         ):
             from ..ops.pallas.decode_layer import prepare_lm_fold
 
@@ -397,11 +398,11 @@ class AsrEngine:
         # every example is done, so finished utterances never touch the
         # big slabs. The loop carries the NEXT TOKEN (not logits) so
         # decode_step_token can fold lm_head+argmax into the megakernel.
-        import os
-
         max_new = self.max_new_tokens
         seg_caps = []
-        seg = min(int(os.environ.get("ASR_DECODE_SEGMENT", "256")), max_new)
+        seg = max(
+            1, min(int(os.environ.get("ASR_DECODE_SEGMENT", "256")), max_new)
+        )
         while True:
             seg_caps.append(min(seg, max_new))
             if seg >= max_new:
@@ -411,17 +412,17 @@ class AsrEngine:
         out_buf = jnp.zeros((b, max_new), jnp.int32)
         barange = jnp.arange(b)
 
-        def make_body(cache_holder):
+        def make_body():
             def body(state):
                 cache, tok, n_gen, done, out_buf, step = state
                 is_eos = jnp.logical_or(
                     tok == ENDOFTEXT_TOKEN_ID, tok == IM_END_TOKEN_ID
                 )
                 newly_done = jnp.logical_or(done, is_eos)
-                keep = out_buf[barange, n_gen]
-                out_buf = out_buf.at[barange, n_gen].set(
-                    jnp.where(newly_done, keep, tok)
-                )
+                # unconditional: slot n_gen of a done example is never
+                # read (hosts slice out_buf[i, :n_gen[i]]), so no
+                # keep-gather is needed
+                out_buf = out_buf.at[barange, n_gen].set(tok)
                 n_gen = jnp.where(newly_done, n_gen, n_gen + 1)
                 dec = self.decoder_unrolled
                 if aligned:
@@ -488,7 +489,7 @@ class AsrEngine:
                 _, _, _, done, _, step = state
                 return jnp.logical_and(jnp.any(~done), step < cap)
 
-            state = jax.lax.while_loop(cond, make_body(None), state)
+            state = jax.lax.while_loop(cond, make_body(), state)
 
         _, _, n_gen, _, out_buf, _ = state
         return out_buf, n_gen
@@ -513,6 +514,8 @@ class AsrEngine:
         """
         if buckets is None:
             buckets = [c for c in self.chunk_buckets if c <= 120]
+            if not buckets:  # long-form-only engine: warm what exists
+                buckets = list(self.chunk_buckets)
         cf = self.config.audio.chunk_frames
         for c in buckets:
             clip = np.zeros(int(c * cf * 160), np.float32)
@@ -542,8 +545,15 @@ class AsrEngine:
         no analog of: decode weight streaming amortizes across the batch.
         """
         n_real = len(samples_list)
+        if n_real == 0:
+            return []
         if languages is None:
             languages = [None] * n_real
+        if len(languages) != n_real:
+            raise ValueError(
+                f"languages has {len(languages)} entries for "
+                f"{n_real} utterances"
+            )
         # batch-size bucketing: pad to the next power of two (duplicating
         # the last utterance) so a serving process compiles O(log B)
         # batched graphs instead of one per exact batch size
@@ -634,7 +644,12 @@ class AsrEngine:
         segments stitched at the transcript level (runtime/longform.py).
         """
         samples = load_audio(audio_path, 16000)
-        max_seconds = segment_seconds or self.max_bucket_seconds
+        # clamp to bucket capacity: a larger segment_seconds would cut
+        # segments no bucket can hold and _pick_bucket would raise
+        max_seconds = min(
+            segment_seconds or self.max_bucket_seconds,
+            self.max_bucket_seconds,
+        )
         if len(samples) <= int(max_seconds * 16000):
             return self.transcribe_samples(samples, language)
 
@@ -646,6 +661,6 @@ class AsrEngine:
 
         return transcribe_long(
             self, samples, language,
-            segment_seconds=segment_seconds,
+            segment_seconds=max_seconds,
             overlap_seconds=overlap_seconds,
         )

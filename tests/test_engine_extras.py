@@ -150,3 +150,37 @@ def test_engine_warmup_compiles_buckets(rng):
     warm = eng.transcribe_samples(samples)
     fresh, *_ = make_engine(max_new=3)
     assert warm.raw_output == fresh.transcribe_samples(samples).raw_output
+
+
+def test_transcribe_batch_input_validation(rng):
+    from test_engine_e2e import make_engine
+
+    eng, *_ = make_engine(max_new=2)
+    assert eng.transcribe_batch([]) == []
+    s = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    with pytest.raises(ValueError, match="languages"):
+        eng.transcribe_batch([s, s], languages=["english"])
+
+
+def test_decode_segment_env_validated(rng, monkeypatch):
+    """ASR_DECODE_SEGMENT=0 must not hang the seg-caps builder."""
+    from test_engine_e2e import make_engine
+
+    monkeypatch.setenv("ASR_DECODE_SEGMENT", "0")
+    eng, *_ = make_engine(max_new=3)
+    s = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    r = eng.transcribe_samples(s)
+    assert isinstance(r.raw_output, str)
+
+
+def test_transcribe_clamps_segment_seconds(rng, tmp_path):
+    """segment_seconds above the largest bucket segments at bucket
+    capacity instead of crashing in _pick_bucket."""
+    from test_engine_e2e import make_engine
+    from test_audio_io import write_wav_pcm16
+
+    eng, *_ = make_engine(max_new=2)  # buckets (2,4,8): max 8 s
+    wav = tmp_path / "long.wav"
+    write_wav_pcm16(wav, rng.standard_normal(16000 * 12) * 0.1, 16000)
+    r = eng.transcribe(str(wav), segment_seconds=100.0)
+    assert isinstance(r.text, str)
