@@ -688,10 +688,12 @@ class TextDecoder:
         if forced:
             # ineligible overrides degrade to the scan path like every
             # other ineligible case (decode_layers_fused would RAISE on
-            # a misaligned tile, killing the whole transcribe graph)
+            # a misaligned tile, killing the whole transcribe graph);
+            # Mosaic needs 128-lane tiles, interpret mode (CPU parity
+            # tests at tiny shapes) only an even split
             if forced > 1 and (
                 merged or int4 or inter % forced
-                or (inter // forced) % 128
+                or (not _interpret_pallas() and (inter // forced) % 128)
             ):
                 return 0
             return forced

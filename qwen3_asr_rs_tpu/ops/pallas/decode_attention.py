@@ -182,12 +182,18 @@ def decode_attention_slab(
     ns = pl.cdiv(s_max, block_s)
 
     def kv_index(bb, si, layer_ref, start_ref, end_ref):
-        # clamp past the last live block: Pallas re-addresses the same
-        # block (no fresh DMA), the kernel body skips the compute
+        # clamp OUTSIDE the live range on both sides: Pallas
+        # re-addresses the same block (no fresh DMA) and the kernel
+        # body skips the compute. Without the lower clamp a
+        # right-aligned batch (large kv_start) still DMA'd every dead
+        # leading block each step — cost scaled with end, not
+        # end - start.
+        first_live = start_ref[bb] // block_s
         last_live = jnp.maximum(
             (end_ref[bb] + block_s - 1) // block_s - 1, 0
         )
-        return (layer_ref[0], bb, 0, jnp.minimum(si, last_live), 0)
+        si = jnp.clip(si, first_live, jnp.maximum(last_live, first_live))
+        return (layer_ref[0], bb, 0, si, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -389,8 +395,8 @@ def decode_attention_dma(
             pl.BlockSpec((1, hq, d), lambda bb, *_: (bb, 0, 0)),
             pl.BlockSpec((1, hkv, d), lambda bb, *_: (bb, 0, 0)),
             pl.BlockSpec((1, hkv, d), lambda bb, *_: (bb, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda bb, *_: (bb, 0, 0)),
         scratch_shapes=[

@@ -835,8 +835,8 @@ def decode_layers_fused(
         ]
     else:
         slab_specs = [
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
         dma_scratch = [
             pltpu.VMEM((2, b, hkv, block_s, d), k_slabs.dtype),

@@ -51,7 +51,6 @@ def _flash_kernel(
     use_kv_start: bool,
     block_q: int,
     block_k: int,
-    sq: int,
     sk: int,
 ):
     b = pl.program_id(0)
@@ -65,50 +64,70 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[:].astype(jnp.float32)
-    k = k_ref[:].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK)
+    def _block():
+        q = q_ref[:].astype(jnp.float32)
+        k = k_ref[:].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (BQ, BK)
 
-    col = ki * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 1
-    )
-    # always mask key padding beyond Sk (the last k block may overhang)
-    mask_bad = col >= sk
-    if use_kv_valid:
-        mask_bad = jnp.logical_or(mask_bad, col >= kv_valid_ref[b])
-    if use_kv_start:
-        mask_bad = jnp.logical_or(mask_bad, col < kv_start_ref[b])
-    if causal:
-        row = qi * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
+        col = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
         )
-        mask_bad = jnp.logical_or(mask_bad, col > row)
-    s = jnp.where(mask_bad, MASK_VALUE, s)
+        # always mask key padding beyond Sk (the last k block may
+        # overhang)
+        mask_bad = col >= sk
+        if use_kv_valid:
+            mask_bad = jnp.logical_or(mask_bad, col >= kv_valid_ref[b])
+        if use_kv_start:
+            mask_bad = jnp.logical_or(mask_bad, col < kv_start_ref[b])
+        if causal:
+            row = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            mask_bad = jnp.logical_or(mask_bad, col > row)
+        s = jnp.where(mask_bad, MASK_VALUE, s)
 
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    corr = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=1, keepdims=True)
-    # zero out-of-bounds V rows (the last k block may overhang Sk and its
-    # padding reads are undefined; 0 * garbage would poison the matmul)
-    krow = ki * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (block_k, 1), 0
-    )
-    v_blk = jnp.where(krow < sk, v_ref[:], 0)
-    acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
-        p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_scr[:] = m_new
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        # zero out-of-bounds V rows (the last k block may overhang Sk
+        # and its padding reads are undefined; 0 * garbage would poison
+        # the matmul)
+        krow = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, 1), 0
+        )
+        v_blk = jnp.where(krow < sk, v_ref[:], 0)
+        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
+
+    if causal:
+        # skip k blocks wholly above the diagonal (the index map also
+        # clamps their DMA to a live block): ~2x less prefill work
+        pl.when(ki * block_k <= qi * block_q + block_q - 1)(_block)
+    else:
+        _block()
 
     @pl.when(ki == nk - 1)
     def _finish():
         o_ref[:] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(
             o_ref.dtype
         )
+
+
+def _kv_block(qi, ki, causal, block_q, block_k):
+    if not causal:
+        return ki
+    # clamp dead above-diagonal blocks onto the last live block: Pallas
+    # re-addresses it without a fresh DMA and the kernel skips compute
+    last_live = (qi * block_q + block_q - 1) // block_k
+    return jnp.minimum(ki, last_live)
 
 
 @functools.partial(
@@ -155,7 +174,6 @@ def flash_attention(
         use_kv_start=use_kv_start,
         block_q=block_q,
         block_k=block_k,
-        sq=sq,
         sk=sk,
     )
 
@@ -176,11 +194,17 @@ def flash_attention(
             ),
             pl.BlockSpec(
                 (1, 1, block_k, d),
-                lambda b, h, qi, ki, *_, g=groups: (b, h // g, ki, 0),
+                lambda b, h, qi, ki, *_, g=groups: (
+                    b, h // g, _kv_block(qi, ki, causal, block_q, block_k),
+                    0,
+                ),
             ),
             pl.BlockSpec(
                 (1, 1, block_k, d),
-                lambda b, h, qi, ki, *_, g=groups: (b, h // g, ki, 0),
+                lambda b, h, qi, ki, *_, g=groups: (
+                    b, h // g, _kv_block(qi, ki, causal, block_q, block_k),
+                    0,
+                ),
             ),
         ],
         out_specs=pl.BlockSpec(

@@ -22,7 +22,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
+def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int,
+                block_in: int, k_true: int):
     ki = pl.program_id(1)
 
     @pl.when(ki == 0)
@@ -34,6 +35,18 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
     # ~4x the passes). Accumulation stays f32.
     x = x_ref[:]
     w = w_ref[:].astype(jnp.bfloat16)
+    if k_true % block_in:
+        # the last k block overhangs the arrays: out-of-bounds block
+        # regions hold UNSPECIFIED data (NaN in interpret mode), which
+        # an unmasked dot would accumulate; zero both operands' overhang
+        # (both, because 0 * NaN is NaN)
+        rem = k_true - ki * block_in
+        w = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) < rem, w, 0
+        )
+        x = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) < rem, x, 0
+        )
     acc_ref[:] += jax.lax.dot_general(
         x.astype(jnp.bfloat16), w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -70,7 +83,9 @@ def quant_matmul(
     n_n = pl.cdiv(n, block_out)
 
     return pl.pallas_call(
-        functools.partial(_qmm_kernel, n_k=n_k),
+        functools.partial(
+            _qmm_kernel, n_k=n_k, block_in=block_in, k_true=k
+        ),
         grid=(n_n, n_k),
         in_specs=[
             pl.BlockSpec((r, block_in), lambda ni, ki: (0, ki),
@@ -95,11 +110,12 @@ def quantize_weight(w, axis: int = 0):
     axis (0 for (in, out) layout).
     """
     wf = jnp.asarray(w, jnp.float32)
-    absmax = jnp.max(jnp.abs(wf), axis=axis)  # (N,)
+    absmax = jnp.max(jnp.abs(wf), axis=axis)
     scales = jnp.maximum(absmax, 1e-8) / 127.0
-    w_q = jnp.clip(jnp.round(wf / scales[None, :]), -127, 127).astype(
-        jnp.int8
-    )
+    # broadcast along the CONTRACTION axis (axis=1 -> per-row scales)
+    w_q = jnp.clip(
+        jnp.round(wf / jnp.expand_dims(scales, axis)), -127, 127
+    ).astype(jnp.int8)
     return w_q, scales
 
 
@@ -133,9 +149,11 @@ def quantize_weight_int4(w, axis: int = 0, blocks: int = 1):
     pairing does NOT commute with column sharding.
     """
     wf = jnp.asarray(w, jnp.float32)
-    absmax = jnp.max(jnp.abs(wf), axis=axis)  # (N,)
+    absmax = jnp.max(jnp.abs(wf), axis=axis)
     scales = jnp.maximum(absmax, 1e-8) / 7.0
-    q = jnp.clip(jnp.round(wf / scales[None, :]), -7, 7).astype(jnp.int8)
+    q = jnp.clip(
+        jnp.round(wf / jnp.expand_dims(scales, axis)), -7, 7
+    ).astype(jnp.int8)
     k, n = q.shape
     if n % (2 * blocks):
         raise ValueError(
@@ -253,6 +271,21 @@ def quant_matvec_int4(
     n_pad = w_q4.shape[1] * 2
     n_true = scales.shape[0]
     n_tiles = n_pad // tile
+    if r > 64:
+        # batch-scoring path (full-sequence logits): the kernel keeps
+        # the whole (R, K) activation plus an (R, tile) f32 tile in
+        # VMEM, which blows the budget for large R — dequantize through
+        # XLA instead (materializes bf16 tiles; fine off the decode
+        # hot path)
+        p32 = w_q4.reshape(k, n_tiles, tile // 2).astype(jnp.int32)
+        lo = ((p32 << 28) >> 28).astype(x.dtype)
+        hi = (p32 >> 4).astype(x.dtype)
+        w = jnp.concatenate([lo, hi], axis=-1).reshape(k, n_pad)
+        y = jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return y[:, :n_true] * scales.astype(jnp.float32)[None, :]
     s_pad = jnp.ones((8, n_pad), jnp.float32)
     s_pad = s_pad.at[0, :n_true].set(scales.astype(jnp.float32))
 

@@ -137,3 +137,46 @@ def test_blocked_int4_pack_unpack_matches_plain(rng):
         np.testing.assert_array_equal(
             one, full[:, 64 // blocks : 2 * 64 // blocks]
         )
+
+
+def test_quant_matmul_k_not_block_multiple(rng):
+    """K % block_in != 0: the last k block's overhang must be masked
+    (unmasked it dots unspecified memory -> NaN/garbage)."""
+    x = jnp.asarray(rng.standard_normal((8, 300)), jnp.float32)
+    w = rng.standard_normal((300, 512)).astype(np.float32) * 0.05
+    w_q, s = quantize_weight(jnp.asarray(w))
+    got = quant_matmul(x, w_q, s, block_in=256, interpret=True)
+    want = x @ (w_q.astype(jnp.float32) * s[None, :])
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_quantize_weight_axis1(rng):
+    """axis=1 (per-row scales) must broadcast along the row axis — the
+    old [None, :] broadcast silently mis-scaled square matrices."""
+    w = jnp.asarray(rng.standard_normal((64, 64)) * 0.1, jnp.float32)
+    w_q, s = quantize_weight(w, axis=1)
+    deq = w_q.astype(jnp.float32) * s[:, None]
+    np.testing.assert_allclose(np.asarray(deq), np.asarray(w),
+                               atol=np.abs(w).max() / 100)
+
+
+def test_quant_matvec_int4_many_rows(rng):
+    """R > 64 takes the XLA fallback (kernel VMEM can't hold the
+    activations) and must match the small-R kernel path numerically."""
+    from qwen3_asr_rs_tpu.ops.pallas.quant_matmul import (
+        quant_matvec_int4, quantize_weight_int4_tiled,
+    )
+
+    k, n = 128, 1024
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    w_q4, s = quantize_weight_int4_tiled(jnp.asarray(w), tile=512)
+    x_small = jnp.asarray(rng.standard_normal((4, k)), jnp.float32)
+    x_big = jnp.concatenate([x_small] * 32, axis=0)  # 128 rows
+    small = quant_matvec_int4(x_small, w_q4, s, tile=512, interpret=True)
+    big = quant_matvec_int4(x_big, w_q4, s, tile=512, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(big[:4]), np.asarray(small), rtol=1e-5, atol=1e-5
+    )
