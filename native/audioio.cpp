@@ -69,6 +69,13 @@ bool parse_wav(const uint8_t* data, size_t len, WavData* out) {
   // Extensible with no GUID (malformed): guess, same rule as load.py.
   if (format == 0xFFFE) format = (bits == 32 || bits == 64) ? 3 : 1;
 
+  // validate BEFORE bits/8: sub-byte depths (ADPCM's 4, GSM's 0)
+  // would otherwise divide by zero and SIGFPE the whole process
+  // instead of reaching the graceful unsupported-format error below
+  if (bits != 8 && bits != 16 && bits != 24 && bits != 32 && bits != 64) {
+    g_error = "unsupported bit depth " + std::to_string(bits);
+    return false;
+  }
   out->sample_rate = rate;
   out->channels = channels;
   size_t bytes_per = bits / 8;
@@ -202,17 +209,27 @@ extern "C" {
 // Returns the number of output samples, 0 on failure (see audioio_error()).
 // The sample buffer stays valid until the next call on this thread;
 // copy it out with audioio_copy().
-int64_t audioio_load_wav(const char* path, int target_rate) {
+int64_t audioio_load_wav(const char* path, int target_rate) try {
   g_error.clear();
   FILE* f = std::fopen(path, "rb");
   if (!f) {
     g_error = "cannot open file";
     return 0;
   }
-  std::fseek(f, 0, SEEK_END);
+  // unseekable paths (FIFOs, /dev/stdin) make ftell return -1, which
+  // as a vector size is SIZE_MAX — check instead of aborting
+  if (std::fseek(f, 0, SEEK_END) != 0) {
+    std::fclose(f);
+    g_error = "unseekable input";
+    return 0;
+  }
   long size = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> buf(size);
+  if (size < 0 || std::fseek(f, 0, SEEK_SET) != 0) {
+    std::fclose(f);
+    g_error = "unseekable input";
+    return 0;
+  }
+  std::vector<uint8_t> buf(static_cast<size_t>(size));
   size_t got = std::fread(buf.data(), 1, size, f);
   std::fclose(f);
   if (got != static_cast<size_t>(size)) {
@@ -238,6 +255,14 @@ int64_t audioio_load_wav(const char* path, int target_rate) {
     return 0;
   }
   return static_cast<int64_t>(g_result.size());
+} catch (const std::exception& e) {
+  // never let a C++ exception (bad_alloc on a huge file, length_error)
+  // unwind through the ctypes boundary — that aborts the process
+  g_error = std::string("native decode failed: ") + e.what();
+  return 0;
+} catch (...) {
+  g_error = "native decode failed";
+  return 0;
 }
 
 void audioio_copy(float* dst, int64_t n) {
@@ -250,11 +275,17 @@ const char* audioio_error() { return g_error.c_str(); }
 
 // Standalone resample entry (used by tests to cross-check vs numpy).
 int64_t audioio_resample(const double* x, int64_t n, int from_rate,
-                         int to_rate) {
+                         int to_rate) try {
   g_error.clear();
   std::vector<double> in(x, x + n);
   g_result = resample_poly(in, from_rate, to_rate);
   return static_cast<int64_t>(g_result.size());
+} catch (const std::exception& e) {
+  g_error = std::string("native resample failed: ") + e.what();
+  return 0;
+} catch (...) {
+  g_error = "native resample failed";
+  return 0;
 }
 
 }  // extern "C"

@@ -51,7 +51,10 @@ struct DecodeState {
 
   bool init_from_frame(const AVFrame* frame) {
     AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
-    AVChannelLayout in_layout;
+    // zero-init: av_channel_layout_copy() UNINITIALIZES dst first, and
+    // stack garbage whose order field reads AV_CHANNEL_ORDER_CUSTOM
+    // would make it free a wild u.map pointer
+    AVChannelLayout in_layout = {};
     if (frame->ch_layout.order == AV_CHANNEL_ORDER_UNSPEC) {
       // FFmpeg sometimes emits frames with an unspecified layout
       // (reference repairs this the same way, audio.rs:104-109)
@@ -133,7 +136,18 @@ int64_t avdec_load(const char* path, int target_rate) {
     return 0;
   }
   AVCodecContext* ctx = avcodec_alloc_context3(dec);
-  avcodec_parameters_to_context(ctx, fmt->streams[si]->codecpar);
+  if (!ctx) {
+    g_av_error = "decoder context alloc failed";
+    avformat_close_input(&fmt);
+    return 0;
+  }
+  if ((rc = avcodec_parameters_to_context(ctx,
+                                          fmt->streams[si]->codecpar)) < 0) {
+    g_av_error = "codec parameter copy failed: " + av_err(rc);
+    avcodec_free_context(&ctx);
+    avformat_close_input(&fmt);
+    return 0;
+  }
   if (ctx->ch_layout.nb_channels > 0 &&
       ctx->ch_layout.order == AV_CHANNEL_ORDER_UNSPEC) {
     av_channel_layout_default(&ctx->ch_layout, ctx->ch_layout.nb_channels);
@@ -246,10 +260,16 @@ int avdec_encode_test(const char* path, const float* samples, int64_t n,
       return 0;
     }
   }
-  if ((rc = avformat_write_header(ofmt, nullptr)) < 0) {
-    g_av_error = "write header failed: " + av_err(rc);
+  // close the avio handle on every later failure path: leaking it is
+  // an fd per failed call
+  auto fail_cleanup = [&]() {
+    if (!(ofmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&ofmt->pb);
     avcodec_free_context(&ctx);
     avformat_free_context(ofmt);
+  };
+  if ((rc = avformat_write_header(ofmt, nullptr)) < 0) {
+    g_av_error = "write header failed: " + av_err(rc);
+    fail_cleanup();
     return 0;
   }
 
@@ -259,6 +279,8 @@ int avdec_encode_test(const char* path, const float* samples, int64_t n,
                            AV_SAMPLE_FMT_FLT, rate, 0, nullptr);
   if (rc < 0 || swr_init(swr) < 0) {
     g_av_error = "encode swr init failed";
+    if (swr) swr_free(&swr);
+    fail_cleanup();
     return 0;
   }
 

@@ -84,17 +84,22 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def _copy_out(lib, n: int, copy_fn, err_fn, what: str) -> np.ndarray:
+    """Shared result/error handling for the decoder entry points."""
+    if n <= 0:
+        raise RuntimeError(f"{what} failed: {err_fn().decode()}")
+    out = np.empty(n, dtype=np.float32)
+    copy_fn(out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+    return out
+
+
 def native_load_wav(path: str, target_rate: int) -> np.ndarray:
     lib = _load()
     if lib is None:
         raise RuntimeError("native audioio library not built")
     n = lib.audioio_load_wav(path.encode(), target_rate)
-    if n == 0:
-        err = lib.audioio_error().decode()
-        raise RuntimeError(f"native WAV decode failed: {err}")
-    out = np.empty(n, dtype=np.float32)
-    lib.audioio_copy(out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
-    return out
+    return _copy_out(lib, n, lib.audioio_copy, lib.audioio_error,
+                     "native WAV decode")
 
 
 def native_any_available() -> bool:
@@ -109,12 +114,8 @@ def native_load_any(path: str, target_rate: int) -> np.ndarray:
     if lib is None or not hasattr(lib, "avdec_load"):
         raise RuntimeError("native libav decoder not built")
     n = lib.avdec_load(path.encode(), target_rate)
-    if n == 0:
-        err = lib.avdec_error().decode()
-        raise RuntimeError(f"native libav decode failed: {err}")
-    out = np.empty(n, dtype=np.float32)
-    lib.avdec_copy(out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
-    return out
+    return _copy_out(lib, n, lib.avdec_copy, lib.avdec_error,
+                     "native libav decode")
 
 
 def native_encode_test(path: str, samples: np.ndarray, rate: int) -> None:
@@ -144,6 +145,5 @@ def native_resample(samples: np.ndarray, from_rate: int, to_rate: int):
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         len(x), from_rate, to_rate,
     )
-    out = np.empty(n, dtype=np.float32)
-    lib.audioio_copy(out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
-    return out
+    return _copy_out(lib, n, lib.audioio_copy, lib.audioio_error,
+                     "native resample")

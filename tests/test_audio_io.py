@@ -225,3 +225,24 @@ def test_sniff_formats(tmp_path):
         f = tmp_path / name
         f.write_bytes(body)
         assert sniff_format(str(f)) == name.split(".")[1]
+
+
+def test_native_sub_byte_bit_depth_errors_cleanly(tmp_path):
+    """A 4-bit (ADPCM-style) WAV must raise, not SIGFPE the process
+    (bits/8 == 0 divided the payload length before validation)."""
+    import struct
+
+    from qwen3_asr_rs_tpu.audio.native import native_available, native_load_wav
+
+    if not native_available():
+        pytest.skip("native library not built")
+    data = b"\x00" * 64
+    fmt = struct.pack("<HHIIHH", 17, 1, 16000, 8000, 1, 4)  # ADPCM, 4-bit
+    riff = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    p = tmp_path / "adpcm.wav"
+    p.write_bytes(riff)
+    with pytest.raises(RuntimeError, match="bit depth|format"):
+        native_load_wav(str(p), 16000)
