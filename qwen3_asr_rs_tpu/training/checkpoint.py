@@ -67,17 +67,33 @@ class AsyncTrainCheckpointer:
         self.keep_best = keep_best
         self.best_mode = best_mode
         self._metrics_path = self.root / "metrics.json"
-        self._metrics: dict[str, float] = (
-            json.loads(self._metrics_path.read_text())
-            if self._metrics_path.exists()
-            else {}
-        )
+        self._metrics: dict[str, float] = {}
+        if self._metrics_path.exists():
+            try:
+                self._metrics = json.loads(self._metrics_path.read_text())
+            except ValueError:
+                # a crash mid-write left truncated JSON; the journal is
+                # an optimization, not ground truth — rebuild empty
+                logger.warning(
+                    "corrupt %s; best-K ranking resets", self._metrics_path
+                )
         self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
-        # steps saved this session + already on disk, for recency-based
-        # pruning (the just-saved step's dir is still an orbax tmp)
-        self._saved_steps = {
+        # SAVE-ORDER list for recency-based pruning: "newest" means most
+        # recently written, NOT numerically highest — after a rollback
+        # (restore an earlier step and resume) the fresh low-numbered
+        # checkpoints are the ones to keep. Seeded from disk in numeric
+        # order (the best available proxy across sessions).
+        self._save_order: list[int] = [
             int(p.name.split("_")[1]) for p in self._step_dirs()
-        }
+        ]
+        # drop journal ghosts for checkpoints that no longer exist (they
+        # would waste best-K protection slots on deleted dirs)
+        on_disk = set(self._save_order)
+        stale = [k for k in self._metrics if int(k) not in on_disk]
+        for k in stale:
+            del self._metrics[k]
+        if stale:
+            self._write_metrics()
         # the most recent async dispatch, possibly still writing; _gc
         # only joins the writer when a prune victim is this path
         self._last_dispatched: Path | None = None
@@ -91,7 +107,7 @@ class AsyncTrainCheckpointer:
 
         return sorted(
             p for p in self.root.glob("step_*")
-            if _re.fullmatch(r"step_\d{8}", p.name)
+            if _re.fullmatch(r"step_\d{8,}", p.name)
         )
 
     def save(self, state: TrainState, metric: float | None = None) -> Path:
@@ -99,10 +115,12 @@ class AsyncTrainCheckpointer:
 
         step = int(state.step)
         path = self.step_path(step)
-        self._saved_steps.add(step)
+        if step in self._save_order:
+            self._save_order.remove(step)
+        self._save_order.append(step)
         if metric is not None:
             self._metrics[str(step)] = float(metric)
-            self._metrics_path.write_text(json.dumps(self._metrics))
+            self._write_metrics()
         # Prune BEFORE dispatching, so in steady state the victim set
         # never contains the write we are about to start and save()
         # stays non-blocking (the round-2 version gc'd after dispatch
@@ -121,6 +139,16 @@ class AsyncTrainCheckpointer:
         logger.info("Async checkpoint started for step %d at %s", step, path)
         return path
 
+    def _write_metrics(self) -> None:
+        """Atomic journal write (a crash mid-write must not leave
+        truncated JSON that poisons the next session's constructor)."""
+        import json
+        import os
+
+        tmp = self._metrics_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(self._metrics))
+        os.replace(tmp, self._metrics_path)
+
     def _ranked_best(self) -> list[int]:
         """Step numbers best-first by the journaled metric."""
         sign = 1.0 if self.best_mode == "min" else -1.0
@@ -134,7 +162,8 @@ class AsyncTrainCheckpointer:
     def _gc(self) -> None:
         steps = self._step_dirs()
         protected = set(self._ranked_best()[: self.keep_best])
-        protected |= set(sorted(self._saved_steps)[-self.max_to_keep :])
+        if self.max_to_keep > 0:  # [-0:] would protect EVERYTHING
+            protected |= set(self._save_order[-self.max_to_keep :])
         victims = [
             p for p in steps if int(p.name.split("_")[1]) not in protected
         ]
@@ -152,10 +181,20 @@ class AsyncTrainCheckpointer:
         ):
             self._ckptr.wait_until_finished()
             self._last_dispatched = None
+        journal_dirty = False
         for old in victims:
             shutil.rmtree(old, ignore_errors=True)
-            self._metrics.pop(str(int(old.name.split("_")[1])), None)
+            pruned_step = int(old.name.split("_")[1])
+            if self._metrics.pop(str(pruned_step), None) is not None:
+                journal_dirty = True
+            if pruned_step in self._save_order:
+                self._save_order.remove(pruned_step)
             logger.info("Pruned old checkpoint %s", old)
+        if journal_dirty:
+            # keep the on-disk journal in sync: a stale entry for a
+            # deleted checkpoint would count against the next session's
+            # best-K protection
+            self._write_metrics()
 
     def best(self) -> Path | None:
         """Path of the best-metric checkpoint still on disk."""

@@ -15,7 +15,6 @@ from pathlib import Path
 from typing import Any, Dict
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import AsrConfig
 from .loader import DECODER_PREFIX, ENCODER_PREFIX, LM_HEAD_KEY

@@ -404,3 +404,75 @@ def test_inaccurate_manifest_duration_still_trains(tmp_path, rng):
             if b["loss_mask"].sum() > 0:
                 trained += 1
     assert trained == 1  # one real batch across both shards, not filler
+
+
+def test_checkpoint_rollback_resume_prunes_correctly(tmp_path):
+    """After restoring an EARLIER step and resuming, recency retention
+    must keep the newly written checkpoints, not the stale high-numbered
+    pre-rollback dirs (save order, not numeric order)."""
+    import jax.numpy as jnp
+    import optax
+
+    from qwen3_asr_rs_tpu.training.checkpoint import AsyncTrainCheckpointer
+
+    params = {"w": jnp.ones((4,))}
+    opt = optax.sgd(1e-2)
+
+    def state(step):
+        return TrainState(
+            params=params, opt_state=opt.init(params),
+            step=jnp.int32(step),
+        )
+
+    ck = AsyncTrainCheckpointer(tmp_path, max_to_keep=2)
+    for s in (2, 99, 100):
+        ck.save(state(s))
+    ck.close()
+
+    # "rollback": new session, resume from an early step
+    ck2 = AsyncTrainCheckpointer(tmp_path, max_to_keep=2)
+    for s in (3, 4):
+        ck2.save(state(s))
+    ck2.wait()
+    ck2._gc()
+    kept = {p.name for p in ck2._step_dirs()}
+    ck2.close()
+    assert "step_00000003" in kept and "step_00000004" in kept
+    assert "step_00000099" not in kept and "step_00000100" not in kept
+
+
+def test_checkpoint_journal_drops_pruned_entries(tmp_path):
+    """metrics.json must not keep ghost entries for pruned checkpoints
+    (they would waste best-K protection in the next session)."""
+    import json
+
+    import jax.numpy as jnp
+    import optax
+
+    from qwen3_asr_rs_tpu.training.checkpoint import AsyncTrainCheckpointer
+
+    params = {"w": jnp.ones((4,))}
+    opt = optax.sgd(1e-2)
+
+    def state(step):
+        return TrainState(
+            params=params, opt_state=opt.init(params),
+            step=jnp.int32(step),
+        )
+
+    ck = AsyncTrainCheckpointer(tmp_path, max_to_keep=1, keep_best=1)
+    ck.save(state(1), metric=5.0)
+    ck.save(state(2), metric=1.0)  # the best
+    ck.save(state(3), metric=9.0)
+    ck.wait()
+    ck._gc()
+    ck.close()
+    journal = json.loads((tmp_path / "metrics.json").read_text())
+    on_disk = {int(p.name.split("_")[1]) for p in ck._step_dirs()}
+    assert set(map(int, journal)) <= on_disk
+    assert 2 in on_disk  # best survived
+
+    # corrupt journal must not poison the next constructor
+    (tmp_path / "metrics.json").write_text('{"truncated')
+    ck3 = AsyncTrainCheckpointer(tmp_path, max_to_keep=1)
+    ck3.close()
