@@ -48,6 +48,38 @@ def main():
     qerr = np.max(np.abs(np.asarray(y) - np.asarray(y_ref)))
     print(f"quant_matmul max err: {qerr:.5f}")
     assert qerr < 0.05, "quant matmul mismatch on TPU"
+
+    # quant matmul with K not a block multiple (exercises the overhang
+    # masking — unmasked this dotted unspecified memory)
+    x2 = jnp.asarray(rng.standard_normal((8, 1000)) * 0.3, jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((1000, 1024)) * 0.02, jnp.float32)
+    w2_q, s2 = quantize_weight(w2)
+    y2 = quant_matmul(x2, w2_q, s2, block_in=512, out_dtype=jnp.float32)
+    y2_ref = x2.astype(jnp.float32) @ dequantize(w2_q, s2)
+    q2err = np.max(np.abs(np.asarray(y2) - np.asarray(y2_ref)))
+    print(f"quant_matmul (K%block!=0) max err: {q2err:.5f}")
+    assert np.isfinite(np.asarray(y2)).all(), "overhang poisoned output"
+    assert q2err < 0.05, "quant matmul overhang mismatch on TPU"
+
+    # decode attention (grid variant) with a right-aligned live range
+    # (exercises the leading-dead-block clamp)
+    from qwen3_asr_rs_tpu.ops.pallas.decode_attention import (
+        decode_attention,
+    )
+
+    B, Hkv, S, D = 1, 8, 1024, 128
+    ks = jnp.asarray(rng.standard_normal((B, Hkv, S, D)) * 0.3,
+                     jnp.bfloat16)
+    vs = jnp.asarray(rng.standard_normal((B, Hkv, S, D)) * 0.3,
+                     jnp.bfloat16)
+    qd = jnp.asarray(rng.standard_normal((B, 16, D)) * 0.3, jnp.bfloat16)
+    kf = jnp.asarray(rng.standard_normal((B, Hkv, D)) * 0.3, jnp.bfloat16)
+    vf = jnp.asarray(rng.standard_normal((B, Hkv, D)) * 0.3, jnp.bfloat16)
+    start = jnp.asarray([700], jnp.int32)
+    end = jnp.asarray([900], jnp.int32)
+    out_d = decode_attention(qd, ks, vs, kf, vf, start, end, block_s=256)
+    assert np.isfinite(np.asarray(out_d, np.float32)).all()
+    print("decode_attention right-aligned OK")
     print("TPU kernel check OK")
 
 
