@@ -128,12 +128,14 @@ def _emit(rows):
         if _emitted:
             return
         _emitted = True
-    xrt = rows.get("bf16_xrt_30s_128tok", 0.0)
+    xrt = rows.get("bf16_xrt_30s_128tok")
     result = {
         "metric": "throughput_0.6B_greedy_30s_128tok",
         "value": xrt,
         "unit": "audio_sec_per_sec_per_chip (xRT)",
-        "vs_baseline": round(xrt / NORTH_STAR_XRT, 3),
+        "vs_baseline": (
+            round(xrt / NORTH_STAR_XRT, 3) if xrt is not None else None
+        ),
         "extra": rows,
     }
     print(json.dumps(result), flush=True)
@@ -166,9 +168,12 @@ def _arm_watchdog(rows, deadline_s):
     return t
 
 
-def main():
-    import os
-
+def _run(rows, budget):
+    """Body of the benchmark. Everything that can touch a device (or
+    even import jax) lives here so main() can guarantee one JSON line
+    no matter what raises — backend-init failures included (round 3's
+    driver run died in jax.devices() with the watchdog still unarmed
+    and emitted a bare traceback instead of a result)."""
     import jax
     import jax.numpy as jnp
 
@@ -183,11 +188,7 @@ def main():
     dec_params = init_decoder_params(config.text, dtype=jnp.bfloat16)
     params = (enc_params, dec_params)
 
-    budget = float(os.environ.get("ASR_BENCH_BUDGET_S", "1500"))
-    hard = float(os.environ.get("ASR_BENCH_HARD_S", str(budget * 1.6)))
     t_start = time.perf_counter()
-    rows = {}
-    watchdog = _arm_watchdog(rows, hard)
     # bf16 headline first; int4 (the best number) before int8 so a
     # budget truncation drops the least informative rows
     for quant in (None, "int4", "int8"):
@@ -211,6 +212,23 @@ def main():
             rows["truncated_at"] = f"{tag}_4s (budget {budget:.0f}s)"
             break
 
+
+def main():
+    import os
+
+    budget = float(os.environ.get("ASR_BENCH_BUDGET_S", "1500"))
+    hard = float(os.environ.get("ASR_BENCH_HARD_S", str(budget * 1.6)))
+    rows = {}
+    # Armed BEFORE any jax import/device touch: a wedged tunnel during
+    # backend init must still produce the one JSON line.
+    watchdog = _arm_watchdog(rows, hard)
+    try:
+        _run(rows, budget)
+    except BaseException as e:  # noqa: BLE001 — contract: always emit
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        rows["error"] = f"{type(e).__name__}: {e}"
     _emit(dict(rows))
     watchdog.cancel()
 
