@@ -90,6 +90,7 @@ def _bench_once(engine, config, seconds, num_chunks):
         jnp.asarray([n_true], jnp.int32),
         jnp.asarray(token_ids)[None],
         jnp.asarray([len(prompt)], jnp.int32),
+        jnp.asarray([True]),
     )
 
     # warmup / compile. NOTE: results are fetched to host each run —

@@ -316,7 +316,7 @@ class AsrEngine:
                     shard_map(
                         fn,
                         mesh=self.mesh,
-                        in_specs=(P(), P(), data, data, data, data),
+                        in_specs=(P(), P(), data, data, data, data, data),
                         out_specs=(data, data),
                         check_rep=False,
                     )
@@ -336,6 +336,9 @@ class AsrEngine:
         n_true_frames,   # (B,) int32
         token_ids,       # (B, P) int32, zero-padded past true_len
         true_len,        # (B,) int32
+        live,            # (B,) bool — False rows are batch padding: they
+        #                 are born done, so they generate ZERO tokens and
+        #                 never extend the decode while_loop
         force_aligned: bool = False,  # static: right-aligned ids even
         #                 at (local) B == 1 — shard_map shards a global
         #                 aligned batch into possibly-single-row locals
@@ -454,7 +457,7 @@ class AsrEngine:
 
         state = (
             cache, tok0, jnp.zeros((b,), jnp.int32),
-            jnp.zeros((b,), bool), out_buf, jnp.int32(0),
+            jnp.logical_not(live), out_buf, jnp.int32(0),
         )
         for cap in seg_caps:
             cache = state[0]
@@ -565,10 +568,15 @@ class AsrEngine:
         if dp > 1:
             b = -(-b // dp) * dp
         if b > n_real:
+            # pad rows reuse the last utterance's inputs (keeps every
+            # value finite at the shared bucket shape) but are marked
+            # not-live: born done in the decode loop, n_gen stays 0
             samples_list = list(samples_list) + [samples_list[-1]] * (
                 b - n_real
             )
             languages = list(languages) + [languages[-1]] * (b - n_real)
+        live = np.zeros(b, bool)
+        live[:n_real] = True
         cf = self.config.audio.chunk_frames
         tpc = self.config.audio.tokens_per_chunk
         from ..config import feat_extract_output_length
@@ -616,6 +624,7 @@ class AsrEngine:
                 jnp.asarray(np.asarray(n_trues, np.int32)),
                 jnp.asarray(np.stack(token_ids)),
                 jnp.asarray(np.asarray(true_lens, np.int32)),
+                jnp.asarray(live),
             )
             out_buf = np.asarray(out_buf)
             n_gen = np.asarray(n_gen)

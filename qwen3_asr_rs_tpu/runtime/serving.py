@@ -60,6 +60,36 @@ logger = logging.getLogger(__name__)
 PAD_TOKEN = -1  # out-buffer filler (never a valid token id)
 
 
+def _write_slot(slab: KVCache, tmp: KVCache, slot) -> KVCache:
+    """Write a per-admission (B==1) cache into one slot of the shared
+    slab (scales too when the pool is int8). tmp may be longer than the
+    slab (chunked prefill pads the prompt to the chunk size) — the
+    overhang holds no prompt positions and is dropped."""
+    p_keep = min(tmp.k.shape[3], slab.k.shape[3])
+    return KVCache(
+        k=jax.lax.dynamic_update_slice(
+            slab.k, tmp.k[:, :, :, :p_keep], (0, slot, 0, 0, 0)
+        ),
+        v=jax.lax.dynamic_update_slice(
+            slab.v, tmp.v[:, :, :, :p_keep], (0, slot, 0, 0, 0)
+        ),
+        k_scale=(
+            None if slab.k_scale is None
+            else jax.lax.dynamic_update_slice(
+                slab.k_scale, tmp.k_scale[:, :, :, :p_keep],
+                (0, slot, 0, 0),
+            )
+        ),
+        v_scale=(
+            None if slab.v_scale is None
+            else jax.lax.dynamic_update_slice(
+                slab.v_scale, tmp.v_scale[:, :, :, :p_keep],
+                (0, slot, 0, 0),
+            )
+        ),
+    )
+
+
 class Request:
     """A queued transcription request (thread-safe completion handle)."""
 
@@ -138,6 +168,7 @@ class ContinuousBatcher:
         prefill_chunk_tokens: Optional[int] = 256,
         encode_window_groups: Optional[int] = 2,
         serving_precision: str = "engine",
+        kv_dtype: Optional[str] = None,
     ):
         self.engine = engine
         # Mesh serving: the slot pool shards across the mesh — slab and
@@ -249,6 +280,24 @@ class ContinuousBatcher:
         self.max_chunks = max_chunks
 
         cfg = engine.config
+        # int8 KV slab (opt-in, or inherited from the engine's ASR_KV):
+        # HALF the per-segment slab stream and 2x decode slots per HBM
+        # byte — the s_max * n_slots slab is the serving pool's dominant
+        # allocation, so a given memory budget holds twice the slots.
+        # Per-(layer, slot, head, position) scales; prefill/commit write
+        # quantized, decode dequantizes at the attention site.
+        if kv_dtype is None:
+            kv_dtype = "int8" if getattr(engine, "kv_quant", False) else \
+                "bf16"
+        if kv_dtype not in ("bf16", "int8"):
+            raise ValueError(f"unknown kv_dtype {kv_dtype!r}")
+        if kv_dtype == "int8" and self.mesh is not None and \
+                self.mesh.shape.get("tp", 1) > 1:
+            raise ValueError(
+                "kv_dtype='int8' serving is not supported under tensor "
+                "parallelism (works on dp-only meshes)"
+            )
+        self.kv_quant = kv_dtype == "int8"
         # Headroom covers pipelining overshoot: a slot that reaches
         # max_new while a segment is already in flight keeps writing for
         # up to one more segment, so size it by segment_steps (min 8),
@@ -259,7 +308,8 @@ class ContinuousBatcher:
             + max(8, segment_steps)
         )
         self.cache = KVCache.zeros(
-            cfg.text, n_slots, self.s_max, dtype=engine.dtype
+            cfg.text, n_slots, self.s_max, dtype=engine.dtype,
+            quantized=self.kv_quant,
         )
         self.slots = [_Slot() for _ in range(n_slots)]
         # Device-RESIDENT decode state: the segment graph's source of
@@ -280,10 +330,21 @@ class ContinuousBatcher:
                 self.mesh,
                 P(None, "dp", "tp" if tp_ok else None, None, None),
             )
+            scale_s = NamedSharding(
+                self.mesh, P(None, "dp", "tp" if tp_ok else None, None)
+            )
             slot_s = NamedSharding(self.mesh, P("dp"))
             self.cache = KVCache(
                 k=jax.device_put(self.cache.k, slab),
                 v=jax.device_put(self.cache.v, slab),
+                k_scale=(
+                    None if self.cache.k_scale is None
+                    else jax.device_put(self.cache.k_scale, scale_s)
+                ),
+                v_scale=(
+                    None if self.cache.v_scale is None
+                    else jax.device_put(self.cache.v_scale, scale_s)
+                ),
             )
             self.d_tok = jax.device_put(self.d_tok, slot_s)
             self.d_pos = jax.device_put(self.d_pos, slot_s)
@@ -334,26 +395,24 @@ class ContinuousBatcher:
         cfg = engine.config
 
         def fn(enc_params, dec_params, wave, n_true, token_ids, true_len,
-               slab_k, slab_v, slot):
+               slab, slot):
             hidden = self._inject(
                 enc_params, dec_params, wave, n_true, token_ids
             )
             p = token_ids.shape[0]
             slots_ax = jnp.arange(p)
-            tmp = KVCache.zeros(cfg.text, 1, p, dtype=slab_k.dtype)
+            tmp = KVCache.zeros(
+                cfg.text, 1, p, dtype=engine.dtype,
+                quantized=slab.quantized,
+            )
             logits, tmp = engine.decoder.prefill(
                 dec_params, hidden, slots_ax, tmp, true_len
             )
-            slab_k = jax.lax.dynamic_update_slice(
-                slab_k, tmp.k, (0, slot, 0, 0, 0)
-            )
-            slab_v = jax.lax.dynamic_update_slice(
-                slab_v, tmp.v, (0, slot, 0, 0, 0)
-            )
+            slab = _write_slot(slab, tmp, slot)
             tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
-            return tok0, slab_k, slab_v
+            return tok0, slab
 
-        self._prefill_jit[num_chunks] = jax.jit(fn, donate_argnums=(6, 7))
+        self._prefill_jit[num_chunks] = jax.jit(fn, donate_argnums=(6,))
         return self._prefill_jit[num_chunks]
 
     def _inject(self, enc_params, dec_params, wave, n_true, token_ids):
@@ -493,18 +552,17 @@ class ContinuousBatcher:
             engine = self.engine
             c = self.prefill_chunk_tokens
 
-            def fn(dec_params, hidden, start, tmp_k, tmp_v, true_in_chunk):
+            def fn(dec_params, hidden, start, tmp, true_in_chunk):
                 chunk = jax.lax.dynamic_slice(
                     hidden, (0, start, 0), (1, c, hidden.shape[-1])
                 )
                 logits, tmp = engine.decoder.prefill_chunk(
-                    dec_params, chunk, start,
-                    KVCache(k=tmp_k, v=tmp_v), true_in_chunk,
+                    dec_params, chunk, start, tmp, true_in_chunk,
                 )
                 tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
-                return tok0, tmp.k, tmp.v
+                return tok0, tmp
 
-            self._chunk_jit["fn"] = jax.jit(fn, donate_argnums=(3, 4))
+            self._chunk_jit["fn"] = jax.jit(fn, donate_argnums=(3,))
         return self._chunk_jit["fn"]
 
     def _commit_fn(self):
@@ -512,17 +570,10 @@ class ContinuousBatcher:
         temp cache into the slot's region of the shared slab."""
         if self._commit_jit.get("fn") is None:
 
-            def fn(tmp_k, tmp_v, slab_k, slab_v, slot):
-                p_keep = min(tmp_k.shape[3], slab_k.shape[3])
-                slab_k = jax.lax.dynamic_update_slice(
-                    slab_k, tmp_k[:, :, :, :p_keep], (0, slot, 0, 0, 0)
-                )
-                slab_v = jax.lax.dynamic_update_slice(
-                    slab_v, tmp_v[:, :, :, :p_keep], (0, slot, 0, 0, 0)
-                )
-                return slab_k, slab_v
+            def fn(tmp, slab, slot):
+                return _write_slot(slab, tmp, slot)
 
-            self._commit_jit["fn"] = jax.jit(fn, donate_argnums=(2, 3))
+            self._commit_jit["fn"] = jax.jit(fn, donate_argnums=(1,))
         return self._commit_jit["fn"]
 
     def _segment_graph(self):
@@ -532,8 +583,7 @@ class ContinuousBatcher:
         engine = self.engine
         k_steps = self.segment_steps
 
-        def fn(dec_params, slab_k, slab_v, tok, pos, done):
-            cache = KVCache(k=slab_k, v=slab_v)
+        def fn(dec_params, cache, tok, pos, done):
             out = jnp.full((self.n_slots, k_steps), PAD_TOKEN, jnp.int32)
 
             def body(i, state):
@@ -554,9 +604,9 @@ class ContinuousBatcher:
             cache, tok, pos, done, out = jax.lax.fori_loop(
                 0, k_steps, body, (cache, tok, pos, done, out)
             )
-            return tok, pos, done, out, cache.k, cache.v
+            return tok, pos, done, out, cache
 
-        self._segment = jax.jit(fn, donate_argnums=(1, 2))
+        self._segment = jax.jit(fn, donate_argnums=(1,))
         return self._segment
 
     # -------------------------------------------------------------- #
@@ -609,18 +659,16 @@ class ContinuousBatcher:
                           prompt_len) -> None:
         engine = self.engine
         fn = self._prefill_graph(bucket)
-        tok0, k, v = fn(
+        tok0, self.cache = fn(
             engine.enc_params,
             engine.dec_params,
             jnp.asarray(wave),
             jnp.int32(n_true),
             jnp.asarray(ids),
             jnp.int32(prompt_len),
-            self.cache.k,
-            self.cache.v,
+            self.cache,
             jnp.int32(slot_idx),
         )
-        self.cache = KVCache(k=k, v=v)
         slot = self.slots[slot_idx]
         slot.request = req
         slot.tokens = []
@@ -695,7 +743,7 @@ class ContinuousBatcher:
     def _begin_prefill(self, slot_idx, bucket, hidden, prompt_len) -> None:
         tmp = KVCache.zeros(
             self.engine.config.text, 1, hidden.shape[1],
-            dtype=self.engine.dtype,
+            dtype=self.engine.dtype, quantized=self.kv_quant,
         )
         self.prefilling[slot_idx] = _PrefillJob(
             hidden=hidden, tmp=tmp, prompt_len=prompt_len, bucket=bucket
@@ -727,22 +775,18 @@ class ContinuousBatcher:
         job = self.prefilling[slot_idx]
         c = self.prefill_chunk_tokens
         true_in = min(c, job.prompt_len - job.cursor)
-        tok0, k, v = self._chunk_fn()(
+        tok0, job.tmp = self._chunk_fn()(
             self.engine.dec_params,
             job.hidden,
             jnp.int32(job.cursor),
-            job.tmp.k,
-            job.tmp.v,
+            job.tmp,
             jnp.int32(true_in),
         )
-        job.tmp = KVCache(k=k, v=v)
         job.cursor += c
         if job.cursor >= job.prompt_len:
-            sk, sv = self._commit_fn()(
-                job.tmp.k, job.tmp.v, self.cache.k, self.cache.v,
-                jnp.int32(slot_idx),
+            self.cache = self._commit_fn()(
+                job.tmp, self.cache, jnp.int32(slot_idx),
             )
-            self.cache = KVCache(k=sk, v=sv)
             self._set_slot_state(slot_idx, tok0, job.prompt_len, False)
             del self.prefilling[slot_idx]
             logger.debug(
@@ -824,15 +868,13 @@ class ContinuousBatcher:
     def _dispatch_segment(self) -> None:
         """Launch one decode segment from the device state (async)."""
         fn = self._segment_graph()
-        tok, pos, done, out, k, v = fn(
+        tok, pos, done, out, self.cache = fn(
             self._segment_params(),
-            self.cache.k,
-            self.cache.v,
+            self.cache,
             self.d_tok,
             self.d_pos,
             self.d_done,
         )
-        self.cache = KVCache(k=k, v=v)
         self.d_tok, self.d_pos, self.d_done = tok, pos, done
         self._inflight = (out, tok, pos, done, self._slot_version.copy())
         for a in (out, tok, pos, done):

@@ -64,6 +64,7 @@ def main():
         engine.enc_params, engine.dec_params,
         jnp.asarray(wave)[None], jnp.asarray([n_true], jnp.int32),
         jnp.asarray(token_ids)[None], jnp.asarray([len(prompt)], jnp.int32),
+        jnp.asarray([True]),
     )
     out, _ = graph(*args)
     np.asarray(out)

@@ -46,9 +46,10 @@ def run(decode_tokens):
     prompt = build_prompt(n_audio, None, None)
     token_ids = np.zeros(engine._prompt_bucket(num_chunks), np.int32)
     token_ids[: len(prompt)] = prompt
-    graph = engine._graph(num_chunks)
-    args = (engine.enc_params, engine.dec_params, jnp.asarray(wave),
-            jnp.int32(n_true), jnp.asarray(token_ids), jnp.int32(len(prompt)))
+    graph = engine._graph(num_chunks, 1)
+    args = (engine.enc_params, engine.dec_params, jnp.asarray(wave)[None],
+            jnp.asarray([n_true], jnp.int32), jnp.asarray(token_ids)[None],
+            jnp.asarray([len(prompt)], jnp.int32), jnp.asarray([True]))
     out, n = graph(*args)
     jax.block_until_ready(out)
     times = []

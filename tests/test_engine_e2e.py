@@ -182,6 +182,46 @@ def test_engine_batch_matches_single(rng):
     ]
 
 
+def test_engine_batch_pad_slots_born_done(rng):
+    """Padding rows of an odd-size batch must generate ZERO tokens.
+
+    transcribe_batch pads to the next power of two; the pad rows carry
+    live=False into the fused graph and start the decode loop done, so
+    they never extend the while_loop or count generated tokens."""
+    eng = make_engine(max_new=4)[0]
+    a = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    from qwen3_asr_rs_tpu.features.mel import pad_waveform
+
+    cfg = eng.config
+    cf = cfg.audio.chunk_frames
+    wave, n_true = pad_waveform(a, bucket_frames=2 * cf)
+    n_audio = (n_true // cf) * cfg.audio.tokens_per_chunk
+    tail = n_true % cf
+    if tail:
+        n_audio += feat_extract_output_length(tail)
+    prompt = build_prompt(n_audio, None, eng.tokenizer)
+    p_bucket = eng._prompt_bucket(2)
+    ids = np.zeros(p_bucket, np.int32)
+    ids[p_bucket - len(prompt):] = prompt  # right-aligned (batch > 1)
+
+    graph = eng._graph(2, 4)
+    out_buf, n_gen = graph(
+        eng.enc_params,
+        eng.dec_params,
+        jnp.asarray(np.stack([wave] * 4)),
+        jnp.asarray([n_true] * 4, jnp.int32),
+        jnp.asarray(np.stack([ids] * 4)),
+        jnp.asarray([len(prompt)] * 4, jnp.int32),
+        jnp.asarray([True, True, True, False]),
+    )
+    n_gen = np.asarray(n_gen)
+    assert n_gen[3] == 0, f"pad slot generated {n_gen[3]} tokens"
+    assert (n_gen[:3] == n_gen[0]).all() and n_gen[0] > 0
+    # live rows produce identical tokens (same input), pad row none
+    out_buf = np.asarray(out_buf)
+    assert (out_buf[1, : n_gen[1]] == out_buf[0, : n_gen[0]]).all()
+
+
 def test_engine_kernel_decode_attention_matches_dense(rng, monkeypatch):
     """Forced Pallas decode-attention path == dense path, token-for-token."""
     cfg = make_engine()[1]

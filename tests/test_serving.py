@@ -429,3 +429,113 @@ def test_auto_precision_lm_bits_pinned(rng, monkeypatch):
     )
     q8 = b._params_by_precision["int8"]
     assert "lm_head_q" in q8 and "lm_head_q4" not in q8
+
+
+def _kv8_engine(max_new=4):
+    """Engine sharing make_engine's weights but with an int8 KV cache."""
+    import jax.numpy as jnp
+
+    from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+    from test_engine_e2e import MockTokenizer
+
+    _, cfg, enc_params, dec_params = make_engine(max_new=max_new)
+    return AsrEngine(
+        model_dir=None, dtype=jnp.float32, max_new_tokens=max_new,
+        chunk_buckets=(2, 4, 8), config=cfg,
+        params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+        kv_dtype="int8",
+    )
+
+
+def test_serving_int8_kv_pool_matches_engine(rng):
+    """kv_dtype='int8' slot pool == the int8-KV offline engine, token
+    for token: prefill/commit quantize with the same per-slot scheme
+    the engine's fused graph uses, decode dequantizes identically."""
+    eng = _kv8_engine(max_new=4)
+    batcher = ContinuousBatcher(eng, n_slots=2, segment_steps=2)
+    assert batcher.kv_quant  # inherited from the engine's kv_dtype
+    assert batcher.cache.k_scale is not None
+
+    clips = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32)
+        for n in (20000, 9000)
+    ]
+    reqs = [Request(c) for c in clips]
+    for r in reqs:
+        batcher.submit(r)
+    _drive(batcher, lambda: all(r.event.is_set() for r in reqs))
+    for clip, r in zip(clips, reqs):
+        offline = eng.transcribe_samples(clip)
+        assert r.result.raw_output == offline.raw_output
+
+
+def test_serving_int8_kv_chunked_admission(rng):
+    """Chunked prefill writes a quantized temp cache and commits it
+    (values + scales) into the int8 slab — tokens still match the
+    offline int8-KV engine."""
+    eng = _kv8_engine(max_new=3)
+    batcher = ContinuousBatcher(
+        eng, n_slots=2, segment_steps=2, prefill_chunk_tokens=16,
+        kv_dtype="int8",
+    )
+    samples = (rng.standard_normal(64000) * 0.1).astype(np.float32)
+    req = Request(samples)
+    batcher.submit(req)
+    _drive(batcher, lambda: req.event.is_set())
+    offline = eng.transcribe_samples(samples)
+    assert req.result.raw_output == offline.raw_output
+
+
+def test_serving_kv_dtype_validation():
+    eng = make_engine(max_new=2)[0]
+    with pytest.raises(ValueError, match="kv_dtype"):
+        ContinuousBatcher(eng, n_slots=1, kv_dtype="fp8")
+
+
+def test_serving_int8_kv_on_dp_mesh(rng):
+    """int8 slab + scales shard over a dp mesh; tokens match offline."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from qwen3_asr_rs_tpu.config import tiny_test_config
+    from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
+    from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
+    from qwen3_asr_rs_tpu.parallel.mesh import make_mesh
+    from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+    from test_engine_e2e import MockTokenizer
+
+    cfg = tiny_test_config()
+    text = dataclasses.replace(cfg.text, vocab_size=151936)
+    cfg = dataclasses.replace(
+        cfg, thinker_config=dataclasses.replace(
+            cfg.thinker_config, text_config=text
+        )
+    )
+    enc_params = init_encoder_params(cfg.audio, dtype=jnp.float32)
+    dec_params = init_decoder_params(cfg.text, dtype=jnp.float32)
+
+    def engine(mesh):
+        return AsrEngine(
+            model_dir=None, dtype=jnp.float32, max_new_tokens=3,
+            chunk_buckets=(2,), config=cfg,
+            params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+            kv_dtype="int8", mesh=mesh,
+        )
+
+    mesh = make_mesh(n_devices=2, tp=1)  # dp=2
+    batcher = ContinuousBatcher(engine(mesh), n_slots=2, segment_steps=2)
+    assert batcher.kv_quant and batcher.cache.k_scale is not None
+
+    reqs = [
+        Request((rng.standard_normal(n) * 0.1).astype(np.float32))
+        for n in (20000, 9000)
+    ]
+    for r in reqs:
+        batcher.submit(r)
+    _drive(batcher, lambda: all(r.event.is_set() for r in reqs),
+           max_iters=400)
+    offline = engine(None)
+    for r in reqs:
+        want = offline.transcribe_samples(r.samples)
+        assert r.result.raw_output == want.raw_output
