@@ -143,6 +143,15 @@ def _linear(tree: PyTree, name: str, x):
         return (y * tree[f"{name}_s"].astype(jnp.float32)).astype(x.dtype)
     if f"{name}_q4" in tree:
         p4 = tree[f"{name}_q4"]
+        scales = tree[f"{name}_s"]
+        if p4.ndim == 2 and scales.ndim == 2:
+            # group-wise scales (quantize='int4g'): batched per-group
+            # dots, scales contracted after (quant_matmul
+            # int4_grouped_matmul) — scales vary along K so the usual
+            # post-dot per-column apply does not commute
+            from ..ops.pallas.quant_matmul import int4_grouped_matmul
+
+            return int4_grouped_matmul(x, p4, scales).astype(x.dtype)
         if p4.ndim == 3:
             # blocked tensor-parallel layout (K, blocks, half_b): every
             # unpack op is block-local, so GSPMD shards the dequant over
@@ -751,6 +760,13 @@ class TextDecoder:
                 for n in ("q_w", "q_w_q", "q_w_q4", "qkv_w_q", "qkv_w_q4")
             )
             and "q_b" not in params["layers"]
+            # group-wise int4 scales ((L, G, N) instead of (L, N)) vary
+            # along the contraction dim: the megakernel applies scales
+            # post-dot per column, so int4g decodes through the scan path
+            and not any(
+                n.endswith("_s") and getattr(v, "ndim", 0) == 3
+                for n, v in params["layers"].items()
+            )
         )
         nt = (
             self._fused_step_tiles(params, b, cache, fold_lm)

@@ -169,6 +169,82 @@ def quantize_weight_int4(w, axis: int = 0, blocks: int = 1):
     return packed.astype(jnp.int8), scales
 
 
+def quantize_weight_int4_grouped(w, group_size: int = 128):
+    """Group-wise symmetric int4 quantization of (K, N) weights.
+
+    Per-channel int4 shares ONE scale across the whole K=1024+ input
+    dim, so a single outlier row inflates the scale and crushes every
+    other value's resolution — the standard quality failure real LLM
+    weights hit at 4 bits (round-3 synthetic measurement: 2% stepwise
+    argmax agreement vs bf16). Group-wise scales (GPTQ/AWQ-style) give
+    every ``group_size`` contraction rows their own scale.
+
+    Returns (packed int8 (K, N//2) — same (j, j + N/2) nibble pairing
+    as quantize_weight_int4 — and scales f32 (K // group_size, N)).
+    K must be divisible by group_size, N by 2.
+    """
+    wf = jnp.asarray(w, jnp.float32)
+    k, n = wf.shape
+    if k % group_size:
+        raise ValueError(
+            f"int4 grouping needs K divisible by group_size "
+            f"({group_size}), got K={k}"
+        )
+    if n % 2:
+        raise ValueError(f"int4 packing needs even output dim, got {n}")
+    g = wf.reshape(k // group_size, group_size, n)
+    absmax = jnp.max(jnp.abs(g), axis=1)  # (G, N)
+    scales = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(
+        jnp.round(g / scales[:, None, :]), -7, 7
+    ).astype(jnp.int8).reshape(k, n)
+    lo, hi = q[:, : n // 2], q[:, n // 2 :]
+    packed = ((lo & jnp.int8(0xF)) | (hi << 4)).astype(jnp.int8)
+    return packed, scales
+
+
+def int4_grouped_matmul(x, packed, scales):
+    """x (..., K) @ dequant(packed, scales) for group-wise int4 weights.
+
+    Scales vary along K, so they cannot be applied after one full-K
+    contraction. Instead: one BATCHED dot per group half (the nibble
+    unpack fuses into the dot operands — no (K, N) bf16 weight tensor
+    is ever materialized in HBM), then the per-(group, column) scales
+    contract away the group dim. MXU-friendly at group_size >= 128.
+    """
+    k = x.shape[-1]
+    n_groups, n = scales.shape
+    g = k // n_groups
+    p = packed.astype(jnp.int32)
+    lo = ((p << 28) >> 28).astype(x.dtype).reshape(n_groups, g, n // 2)
+    hi = (p >> 4).astype(x.dtype).reshape(n_groups, g, n // 2)
+    xg = x.reshape(*x.shape[:-1], n_groups, g)
+    sf = scales.astype(jnp.float32)
+    y_lo = jnp.einsum(
+        "...gk,gkn->...gn", xg, lo, preferred_element_type=jnp.float32
+    )
+    y_hi = jnp.einsum(
+        "...gk,gkn->...gn", xg, hi, preferred_element_type=jnp.float32
+    )
+    y = jnp.concatenate(
+        [
+            jnp.einsum("...gn,gn->...n", y_lo, sf[:, : n // 2]),
+            jnp.einsum("...gn,gn->...n", y_hi, sf[:, n // 2 :]),
+        ],
+        axis=-1,
+    )
+    return y
+
+
+def dequantize_int4_grouped(packed, scales):
+    """Reference dense dequant: (K, N//2) packed + (G, N) scales -> f32."""
+    k = packed.shape[0]
+    n_groups = scales.shape[0]
+    w = unpack_int4(packed, jnp.float32)  # (K, N)
+    s_full = jnp.repeat(scales, k // n_groups, axis=0)  # (K, N)
+    return w * s_full
+
+
 def unpack_int4(packed, dtype=jnp.float32):
     """Inverse of the packing in quantize_weight_int4 (original col order).
 

@@ -113,7 +113,30 @@ class AsrEngine:
         # — Pallas kernels, int4/lm8 quant, int8 KV — works per shard.
         # Only tensor parallelism (tp > 1) restricts the feature set.
         mesh_tp = mesh.shape.get("tp", 1) if mesh is not None else 1
-        if quantize in ("int8", "int4"):
+        if quantize == "int4g":
+            # group-wise int4 (the int4 quality hedge): every
+            # ASR_INT4_GROUP (default 128) contraction rows get their own
+            # scale, so one outlier row no longer crushes the whole
+            # channel's resolution. Decode runs the scan path with
+            # batched per-group dots (scales vary along K — the
+            # megakernel's post-dot per-column apply does not commute);
+            # the lm_head defaults to int8.
+            from ..weights.quantize import quantize_decoder_params
+
+            if mesh_tp > 1:
+                raise ValueError(
+                    "quantize='int4g' is not supported under tensor "
+                    "parallelism (works on dp-only meshes); use int8"
+                )
+            gsize = int(os.environ.get("ASR_INT4_GROUP", "128"))
+            logger.info(
+                "Quantizing decoder weights to int4 (group size %d)", gsize
+            )
+            merge = os.environ.get("ASR_MERGE_QKV", "1") != "0"
+            self.dec_params = quantize_decoder_params(
+                self.dec_params, bits=4, merge=merge, group_size=gsize
+            )
+        elif quantize in ("int8", "int4"):
             from ..weights.quantize import quantize_decoder_params
 
             logger.info("Quantizing decoder weights to %s", quantize)

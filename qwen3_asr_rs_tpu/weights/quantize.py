@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..ops.pallas.quant_matmul import (
     quantize_weight,
     quantize_weight_int4,
+    quantize_weight_int4_grouped,
     quantize_weight_int4_tiled,
 )
 
@@ -53,6 +54,7 @@ def quantize_decoder_params(
     merge: bool = True,
     lm_bits: int | None = None,
     tp_blocks: int = 1,
+    group_size: int | None = None,
 ) -> PyTree:
     """Return a new decoder param pytree with int8 (or int4) linears.
 
@@ -78,6 +80,16 @@ def quantize_decoder_params(
         raise ValueError(f"bits must be 4 or 8, got {bits}")
     if tp_blocks > 1 and (bits != 4 or merge):
         raise ValueError("tp_blocks > 1 requires bits=4 and merge=False")
+    if group_size is not None:
+        # group-wise scales (quality hedge for int4: per-channel's single
+        # scale over the whole K dim collapses under weight outliers)
+        if bits != 4:
+            raise ValueError("group_size applies to bits=4 only")
+        if tp_blocks > 1:
+            raise ValueError(
+                "group-wise int4 is not supported under tensor "
+                "parallelism (blocked tp packing is per-channel)"
+            )
     layers = dict(params["layers"])
     merge = merge and not any(
         f"{n[:-2]}_b" in layers for n in QUANT_LAYER_WEIGHTS
@@ -96,7 +108,12 @@ def quantize_decoder_params(
             plan[name] = layers.pop(name)
 
     for name, w in plan.items():  # w: (L, in, out)
-        if bits == 4:
+        if bits == 4 and group_size is not None:
+            w_q, s = jax.vmap(
+                lambda t: quantize_weight_int4_grouped(t, group_size)
+            )(w)  # scales (L, K // group_size, N)
+            layers[f"{name}_q4"] = w_q
+        elif bits == 4:
             blocks = tp_blocks if name in COL_PARALLEL else 1
             w_q, s = jax.vmap(
                 lambda t, blocks=blocks: quantize_weight_int4(
@@ -122,7 +139,13 @@ def quantize_decoder_params(
 
     lm = params["lm_head"]
     if lm_bits is None:
-        lm_bits = int(os.environ.get("ASR_LM_BITS", bits))
+        # group-wise mode defaults the lm_head to int8: the tiled int4
+        # matvec's scales are per-column (the same outlier exposure
+        # group_size exists to fix), and the lm_head stream is only
+        # ~12% of the decode bytes — int8 is the quality-consistent
+        # default (ASR_LM_BITS=4 still forces the int4 matvec)
+        default_lm = 8 if group_size is not None else bits
+        lm_bits = int(os.environ.get("ASR_LM_BITS", default_lm))
     if tp_blocks > 1:
         lm_bits = 8  # the int4 lm matvec is a single-device Pallas kernel
     if lm_bits not in (4, 8):

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main(n_requests=24, quant=None, max_new=32, n_slots=8,
-         precision="engine", occ=None):
+         precision="engine", occ=None, kv=None):
     import jax.numpy as jnp
 
     from qwen3_asr_rs_tpu.config import AsrConfig
@@ -57,7 +57,7 @@ def main(n_requests=24, quant=None, max_new=32, n_slots=8,
     batcher = ContinuousBatcher(
         engine, n_slots=n_slots, segment_steps=8,
         max_new_tokens=max_new, max_chunks=30,
-        serving_precision=precision,
+        serving_precision=precision, kv_dtype=kv,
     )
 
     rng = np.random.default_rng(0)
@@ -103,7 +103,8 @@ def main(n_requests=24, quant=None, max_new=32, n_slots=8,
         lat = r.finish_time - r.submit_time
         by_len.setdefault(sec, []).append(lat)
     print(
-        f"quant={quant} precision={precision}: {n_requests} reqs ({audio_total:.0f} s audio) in "
+        f"quant={quant} precision={precision} kv={kv or 'bf16'}: "
+        f"{n_requests} reqs ({audio_total:.0f} s audio) in "
         f"{wall:.2f} s -> {audio_total / wall:.1f}x RT aggregate "
         f"({n_slots} slots, {max_new} tok/req cap)"
     )
@@ -127,5 +128,8 @@ if __name__ == "__main__":
                     choices=["engine", "auto", "bf16", "int8"])
     ap.add_argument("--occ", type=int, default=None,
                     help="auto mode int8 occupancy crossover")
+    ap.add_argument("--kv", default=None, choices=["bf16", "int8"],
+                    help="slot-pool KV slab dtype (int8 = 2x slots/byte)")
     a = ap.parse_args()
-    main(a.requests, a.quant, a.max_new, a.slots, a.precision, a.occ)
+    main(a.requests, a.quant, a.max_new, a.slots, a.precision, a.occ,
+         a.kv)

@@ -335,3 +335,203 @@ def test_engine_merge_qkv_env_override(rng, monkeypatch):
     unmerged = build()
     assert "qkv_w_q" not in unmerged.dec_params["layers"]
     assert "q_w_q" in unmerged.dec_params["layers"]
+
+
+# ---------------------------------------------------------------------- #
+# int4 group-wise scales (quantize='int4g')
+
+
+def test_int4_grouped_roundtrip_and_matmul(rng):
+    """Grouped dequant hits the int4 grid exactly; the batched-per-group
+    matmul matches the dense dequantized product."""
+    from qwen3_asr_rs_tpu.ops.pallas.quant_matmul import (
+        dequantize_int4_grouped,
+        int4_grouped_matmul,
+        quantize_weight_int4_grouped,
+    )
+
+    k, n, g = 64, 32, 16
+    w = jnp.asarray(rng.standard_normal((k, n)) * 0.1, jnp.float32)
+    packed, scales = quantize_weight_int4_grouped(w, group_size=g)
+    assert packed.shape == (k, n // 2) and scales.shape == (k // g, n)
+    deq = dequantize_int4_grouped(packed, scales)
+    # quantization error bounded by half a grid step per group
+    step = np.repeat(np.asarray(scales), g, axis=0)
+    assert np.all(np.abs(np.asarray(deq) - np.asarray(w)) <= step / 2 + 1e-7)
+
+    x = jnp.asarray(rng.standard_normal((3, k)) * 0.5, jnp.float32)
+    got = int4_grouped_matmul(x, packed, scales)
+    want = x @ deq
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_int4_grouped_beats_per_channel_on_outliers(rng):
+    """The motivating case: one outlier row per channel crushes
+    per-channel int4 resolution; group-wise scales contain the damage
+    to the outlier's group."""
+    from qwen3_asr_rs_tpu.ops.pallas.quant_matmul import (
+        dequantize,
+        dequantize_int4_grouped,
+        quantize_weight_int4,
+        quantize_weight_int4_grouped,
+        unpack_int4,
+    )
+
+    k, n = 256, 64
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.02
+    w[7] *= 50.0  # one outlier input row
+    wj = jnp.asarray(w)
+    p_pc, s_pc = quantize_weight_int4(wj)
+    deq_pc = unpack_int4(p_pc, jnp.float32) * s_pc[None, :]
+    p_g, s_g = quantize_weight_int4_grouped(wj, group_size=64)
+    deq_g = dequantize_int4_grouped(p_g, s_g)
+    mask = np.ones(k, bool)
+    mask[7] = False  # error off the outlier row
+    err_pc = np.abs(np.asarray(deq_pc) - w)[mask].mean()
+    err_g = np.abs(np.asarray(deq_g) - w)[mask].mean()
+    assert err_g < err_pc / 2, (err_g, err_pc)
+
+
+def test_int4g_forward_matches_dequantized_reference(rng):
+    """int4g decoder forward == forward with densely dequantized bf16
+    weights (per-group scales)."""
+    from qwen3_asr_rs_tpu.ops.pallas.quant_matmul import (
+        dequantize_int4_grouped,
+    )
+
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    qparams = quantize_decoder_params(
+        params, bits=4, merge=False, group_size=16, lm_bits=8
+    )
+    assert qparams["layers"]["q_w_s"].ndim == 3  # (L, G, N)
+
+    deq = {
+        "embed": params["embed"],
+        "final_ln_w": params["final_ln_w"],
+        "layers": dict(qparams["layers"]),
+        "lm_head": jnp.transpose(
+            dequantize(qparams["lm_head_q"], qparams["lm_head_s"])
+        ),
+    }
+    for name in QUANT_LAYER_WEIGHTS:
+        w_q = qparams["layers"][f"{name}_q4"]
+        s = qparams["layers"][f"{name}_s"]
+        deq["layers"][name] = jnp.stack(
+            [
+                dequantize_int4_grouped(w_q[i], s[i])
+                for i in range(w_q.shape[0])
+            ]
+        )
+        del deq["layers"][f"{name}_q4"], deq["layers"][f"{name}_s"]
+
+    dec = TextDecoder(cfg, max_position=64)
+    ids = jnp.asarray([[3, 7, 1, 9, 2]], jnp.int32)
+    hidden = dec.embed(params, ids)
+    got = dec.forward_full(qparams, hidden, jnp.arange(5))
+    want = dec.forward_full(deq, hidden, jnp.arange(5))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-2, rtol=2e-2
+    )
+
+
+def test_quantize_group_size_validation():
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="bits=4"):
+        quantize_decoder_params(params, bits=8, group_size=64)
+    with pytest.raises(ValueError, match="tensor"):
+        quantize_decoder_params(
+            params, bits=4, merge=False, group_size=16, tp_blocks=2
+        )
+
+
+@pytest.mark.slow
+def test_engine_with_int4g_quantization(rng, monkeypatch):
+    """quantize='int4g' end to end: decodes through the scan path (the
+    megakernel rejects grouped scales) and emits the same tokens as a
+    decoder running the densely dequantized int4g weights."""
+    import dataclasses
+
+    from qwen3_asr_rs_tpu.ops.pallas.quant_matmul import (
+        dequantize_int4_grouped,
+    )
+
+    monkeypatch.setenv("ASR_INT4_GROUP", "16")
+    _, cfg, enc_params, dec_params = make_engine(max_new=4)
+    eng = AsrEngine(
+        model_dir=None, dtype=jnp.float32, max_new_tokens=4,
+        chunk_buckets=(2, 4), config=cfg,
+        params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+        quantize="int4g",
+    )
+    layers = eng.dec_params["layers"]
+    assert "qkv_w_q4" in layers and layers["qkv_w_s"].ndim == 3
+    assert "lm_head_q" in eng.dec_params  # lm defaults to int8 under int4g
+
+    # reference engine: densely dequantized int4g weights, bf16 path.
+    # Merged qkv/gateup tensors split back to per-projection names (the
+    # dense decoder only reads merged layouts when they are quantized);
+    # merged per-column scales equal unmerged ones, so the split is exact.
+    tcfg = cfg.text
+    nq = tcfg.num_attention_heads * tcfg.head_dim
+    nkv = tcfg.num_key_value_heads * tcfg.head_dim
+    splits = {
+        "qkv_w": (("q_w", "k_w", "v_w"), (nq, nq + nkv)),
+        "gateup_w": (("gate_w", "up_w"), (tcfg.intermediate_size,)),
+    }
+    deq_layers = dict(layers)
+    for name in list(deq_layers):
+        if name.endswith("_q4"):
+            base = name[:-3]
+            w_q = deq_layers.pop(name)
+            s = deq_layers.pop(f"{base}_s")
+            dense = jnp.stack(
+                [
+                    dequantize_int4_grouped(w_q[i], s[i])
+                    for i in range(w_q.shape[0])
+                ]
+            )
+            if base in splits:
+                names, cuts = splits[base]
+                for part_name, part in zip(
+                    names, jnp.split(dense, list(cuts), axis=-1)
+                ):
+                    deq_layers[part_name] = part
+            else:
+                deq_layers[base] = dense
+    deq_params = dict(eng.dec_params)
+    deq_params["layers"] = deq_layers
+    deq_params["lm_head"] = jnp.transpose(
+        dequantize(deq_params.pop("lm_head_q"), deq_params.pop("lm_head_s"))
+    )
+    ref = AsrEngine(
+        model_dir=None, dtype=jnp.float32, max_new_tokens=4,
+        chunk_buckets=(2, 4), config=cfg,
+        params=(enc_params, deq_params), tokenizer=MockTokenizer(),
+    )
+
+    samples = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    got = eng.transcribe_samples(samples)
+    want = ref.transcribe_samples(samples)
+    assert got.raw_output == want.raw_output
+
+
+def test_engine_int4g_rejected_under_tp():
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 devices")
+    from qwen3_asr_rs_tpu.parallel.mesh import make_mesh
+
+    _, cfg, enc_params, dec_params = make_engine(max_new=2)
+    mesh = make_mesh(n_devices=2, tp_divisor_of=cfg.text.num_key_value_heads)
+    with pytest.raises(ValueError, match="int4g"):
+        AsrEngine(
+            model_dir=None, dtype=jnp.float32, max_new_tokens=2,
+            chunk_buckets=(2,), config=cfg,
+            params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+            quantize="int4g", mesh=mesh,
+        )
