@@ -171,14 +171,20 @@ def test_dp_mesh_all_quant_modes_match_single_device(rng):
     dp_mesh = make_mesh(n_devices=8, tp=1)  # (dp=8, tp=1)
     assert dp_mesh.shape == {"dp": 8, "tp": 1}
 
-    for kw in ({"quantize": "int4"}, {"quantize": "lm8"},
-               {"kv_dtype": "int8"}):
-        single = engine(None, **kw).transcribe_batch(batch)
-        sharded = engine(dp_mesh, **kw).transcribe_batch(batch)
-        assert (
-            [r.raw_output for r in sharded]
-            == [r.raw_output for r in single]
-        ), kw
+    import os
+
+    os.environ["ASR_INT4_GROUP"] = "16"  # tiny hidden dims
+    try:
+        for kw in ({"quantize": "int4"}, {"quantize": "int4g"},
+                   {"quantize": "lm8"}, {"kv_dtype": "int8"}):
+            single = engine(None, **kw).transcribe_batch(batch)
+            sharded = engine(dp_mesh, **kw).transcribe_batch(batch)
+            assert (
+                [r.raw_output for r in sharded]
+                == [r.raw_output for r in single]
+            ), kw
+    finally:
+        os.environ.pop("ASR_INT4_GROUP", None)
 
 
 @requires_8
