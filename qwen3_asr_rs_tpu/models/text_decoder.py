@@ -965,6 +965,9 @@ class TextDecoder:
                     on_tpu
                     and not self.prefer_xla
                     and s_max >= self.decode_attn_threshold()
+                    # the DMA kernel's clamped block starts are computed
+                    # in units of 8 (Mosaic alignment proof)
+                    and s_max % 8 == 0
                 )
                 else "dense"
             )

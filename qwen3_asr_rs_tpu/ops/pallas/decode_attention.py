@@ -291,9 +291,16 @@ def _dma_kernel(
     n_blocks = jnp.maximum(pl.cdiv(end, block_s) - first_blk, 0)
 
     def blk_start(i):
-        # unclamped nominal start; clamped for the DMA so the copy stays
-        # in bounds (masking below uses the clamped global indices)
-        return jnp.minimum((first_blk + i) * block_s, s_max - block_s)
+        # clamped for the DMA so the copy stays in bounds (masking below
+        # uses the clamped global indices). Computed in units of 8 and
+        # multiplied back so Mosaic can PROVE the dynamic slice offset
+        # is tile-aligned — a raw minimum() of two multiples of 8
+        # defeats its divisibility prover (1.7B batch-8 compile failure,
+        # round 4); block_s and s_max are 8-aligned, asserted at
+        # dispatch.
+        return jnp.minimum(
+            (first_blk + i) * (block_s // 8), (s_max - block_s) // 8
+        ) * 8
 
     def dma(slot, i, buf, hbm, sem_col):
         return pltpu.make_async_copy(
@@ -387,6 +394,14 @@ def decode_attention_dma(
     end = end.astype(jnp.int32)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
     block_s = min(block_s, s_max)
+    if s_max % 8 or block_s % 8:
+        # the clamped DMA start is computed in units of 8 so Mosaic can
+        # prove slice alignment — engine/serving allocate 8-aligned
+        # slabs; anything else would silently drop tail KV slots
+        raise ValueError(
+            f"decode_attention_dma needs 8-aligned slab/block sizes, "
+            f"got s_max={s_max} block_s={block_s}"
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

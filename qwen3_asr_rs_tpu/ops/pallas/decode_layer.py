@@ -247,8 +247,16 @@ def _kernel(
 
     def blk_start(i):
         # clamped so the copy stays in bounds; masking below uses
-        # global slot indices
-        return jnp.minimum((first_blk + i) * block_s, s_max - block_s)
+        # global slot indices. Both clamp operands are multiples of 8
+        # (block_s and s_max are 8-aligned — asserted at dispatch), but
+        # Mosaic's divisibility prover cannot see through a raw
+        # minimum(): computing in units of 8 and multiplying back makes
+        # the dynamic slice offset PROVABLY tile-aligned (found at 1.7B
+        # batch-8: "tile index in dimension 3 is divisible by 8" compile
+        # failure on the slab memref_slice).
+        return jnp.minimum(
+            (first_blk + i) * (block_s // 8), (s_max - block_s) // 8
+        ) * 8
 
     def dma(slot, i, buf, hbm, sem_col):
         return pltpu.make_async_copy(
@@ -782,6 +790,12 @@ def decode_layers_fused(
         resident = True
     elif mode == "dma":
         resident = False
+    if not resident and (s_max % 8 or block_s % 8):
+        # the DMA path's clamped block start is computed in units of 8
+        # (Mosaic divisibility proof); a non-8-aligned slab would
+        # silently drop tail KV slots. Engine/serving allocate 8-aligned
+        # slabs; fall back to the resident path otherwise (tiny slabs).
+        resident = True
 
     def l_of(s):
         # clamp to the last layer during lm-tile steps (same index ->

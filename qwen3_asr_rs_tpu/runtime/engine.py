@@ -464,8 +464,13 @@ class AsrEngine:
                 return cache, tok, n_gen, newly_done, out_buf, step + 1
             return body
 
+        # slab lengths round up to 8: the kernels' DMA block clamps are
+        # computed in units of 8 (Mosaic slice-alignment proof)
+        def slab_len(cap):
+            return -(-(p + cap + 1) // 8) * 8
+
         cache = KVCache.zeros(
-            cfg.text, b, p + seg_caps[0] + 1, dtype=self.dtype,
+            cfg.text, b, slab_len(seg_caps[0]), dtype=self.dtype,
             quantized=self.kv_quant,
         )
         if aligned:
@@ -484,9 +489,9 @@ class AsrEngine:
         )
         for cap in seg_caps:
             cache = state[0]
-            if cache.max_len < p + cap + 1:  # grow into the next slab
+            if cache.max_len < slab_len(cap):  # grow into the next slab
                 bigger = KVCache.zeros(
-                    cfg.text, b, p + cap + 1, dtype=self.dtype,
+                    cfg.text, b, slab_len(cap), dtype=self.dtype,
                     quantized=self.kv_quant,
                 )
                 bigger = KVCache(

@@ -307,6 +307,9 @@ class ContinuousBatcher:
             + max_new_tokens
             + max(8, segment_steps)
         )
+        # 8-aligned: the decode kernels' DMA block clamps are computed
+        # in units of 8 (Mosaic slice-alignment proof)
+        self.s_max = -(-self.s_max // 8) * 8
         self.cache = KVCache.zeros(
             cfg.text, n_slots, self.s_max, dtype=engine.dtype,
             quantized=self.kv_quant,

@@ -80,6 +80,49 @@ def main():
     out_d = decode_attention(qd, ks, vs, kf, vf, start, end, block_s=256)
     assert np.isfinite(np.asarray(out_d, np.float32)).all()
     print("decode_attention right-aligned OK")
+
+    # decode attention (manual-DMA variant) with a slab whose size is
+    # 8-aligned but NOT a block multiple, and a live range reaching the
+    # slab end — the last block's DMA start clamps to s_max - block_s,
+    # which must be expressible as a provable multiple of 8 (the raw
+    # minimum() form failed Mosaic's divisibility prover at 1.7B
+    # batch-8: round-4 fix). Checked against the dense reference.
+    from qwen3_asr_rs_tpu.ops.pallas.decode_attention import (
+        decode_attention_dma,
+    )
+
+    L, B2, S2 = 2, 8, 568  # 568 % 128 != 0, 568 % 8 == 0
+    ks2 = jnp.asarray(
+        rng.standard_normal((L, B2, Hkv, S2, D)) * 0.3, jnp.bfloat16
+    )
+    vs2 = jnp.asarray(
+        rng.standard_normal((L, B2, Hkv, S2, D)) * 0.3, jnp.bfloat16
+    )
+    q2d = jnp.asarray(rng.standard_normal((B2, 16, D)) * 0.3, jnp.bfloat16)
+    kf2 = jnp.asarray(rng.standard_normal((B2, Hkv, D)) * 0.3, jnp.bfloat16)
+    vf2 = jnp.asarray(rng.standard_normal((B2, Hkv, D)) * 0.3, jnp.bfloat16)
+    end2 = jnp.asarray([S2] * B2, jnp.int32)  # live to the slab end
+    out_dma = decode_attention_dma(
+        q2d, ks2, vs2, kf2, vf2, jnp.int32(1), None, end2, block_s=128
+    )
+    # dense reference over layer 1's full slab + the self term
+    kd = jnp.concatenate(
+        [ks2[1].astype(jnp.float32), kf2.astype(jnp.float32)[:, :, None]],
+        axis=2,
+    )
+    vd = jnp.concatenate(
+        [vs2[1].astype(jnp.float32), vf2.astype(jnp.float32)[:, :, None]],
+        axis=2,
+    )
+    qg = q2d.astype(jnp.float32).reshape(B2, Hkv, 2, D)
+    sc_d = jnp.einsum("bhgd,bhkd->bhgk", qg, kd) * D ** -0.5
+    p_d = jax.nn.softmax(sc_d, axis=-1)
+    ref_dma = jnp.einsum("bhgk,bhkd->bhgd", p_d, vd).reshape(B2, 16, D)
+    dma_err = np.max(
+        np.abs(np.asarray(out_dma, np.float32) - np.asarray(ref_dma))
+    )
+    print(f"decode_attention_dma clamped last block err: {dma_err:.5f}")
+    assert dma_err < 0.05, "DMA decode attention mismatch on TPU"
     print("TPU kernel check OK")
 
 

@@ -38,10 +38,13 @@ def dense_reference(q, k_slab, v_slab, k_self, v_self, start, end):
 @pytest.mark.parametrize(
     "b,s,hq,hkv,d,starts,ends,block_s",
     [
-        (1, 577, 16, 8, 128, None, [450], 256),
-        (2, 300, 16, 8, 128, [0, 37], [290, 120], 128),
+        # slab sizes are 8-aligned (the DMA kernel's contract — engine
+        # and serving allocate 8-aligned slabs) but deliberately NOT
+        # block multiples, so the clamped-last-block path is exercised
+        (1, 584, 16, 8, 128, None, [450], 256),
+        (2, 304, 16, 8, 128, [0, 37], [296, 120], 128),
         (1, 64, 4, 2, 64, None, [64], 64),
-        (3, 130, 8, 4, 128, [5, 0, 60], [100, 130, 61], 64),  # ragged block
+        (3, 136, 8, 4, 128, [5, 0, 60], [100, 136, 61], 64),  # ragged block
     ],
 )
 @pytest.mark.slow
