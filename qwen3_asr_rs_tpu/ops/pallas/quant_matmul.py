@@ -207,15 +207,31 @@ def int4_grouped_matmul(x, packed, scales):
     """x (..., K) @ dequant(packed, scales) for group-wise int4 weights.
 
     Scales vary along K, so they cannot be applied after one full-K
-    contraction. Instead: one BATCHED dot per group half (the nibble
-    unpack fuses into the dot operands — no (K, N) bf16 weight tensor
-    is ever materialized in HBM), then the per-(group, column) scales
-    contract away the group dim. MXU-friendly at group_size >= 128.
+    contraction. Two regimes:
+
+    * decode / short sequences: one BATCHED dot per group half (the
+      nibble unpack fuses into the dot operands — no (K, N) weight
+      tensor is ever materialized), then the per-(group, column) scales
+      contract away the group dim. MXU-friendly at group_size >= 128.
+    * prefill / scoring (many rows): the batched form's (..., S, G, N)
+      f32 partials dwarf the weight itself (~430 MB per 1.7B FFN dot at
+      S=560 — OOMed on chip, round 4), so materialize the group-scaled
+      weight once in the compute dtype (~25 MB bf16) and run a single
+      dense dot.
     """
     k = x.shape[-1]
     n_groups, n = scales.shape
     g = k // n_groups
     p = packed.astype(jnp.int32)
+    rows = 1
+    for dim in x.shape[:-1]:
+        rows *= dim
+    if rows > 8:
+        w = (
+            unpack_int4(p, x.dtype).reshape(n_groups, g, n)
+            * scales.astype(x.dtype)[:, None, :]
+        ).reshape(k, n)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
     lo = ((p << 28) >> 28).astype(x.dtype).reshape(n_groups, g, n // 2)
     hi = (p >> 4).astype(x.dtype).reshape(n_groups, g, n // 2)
     xg = x.reshape(*x.shape[:-1], n_groups, g)

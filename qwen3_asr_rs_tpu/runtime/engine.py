@@ -94,18 +94,26 @@ class AsrEngine:
         self.max_new_tokens = max_new_tokens
         self.chunk_buckets = tuple(sorted(chunk_buckets))
 
+        stay_host = mesh is not None or quantize in (
+            "int8", "int4", "int4g"
+        )
         if params is None:
             logger.info("Loading weights from %s", model_dir)
             t0 = time.monotonic()
-            # Under a mesh the params stay on host here: shard_params
-            # below does the (sharded) placement, and quantization in
-            # between then runs on host so the transfer ships the
-            # quantized bytes instead of bf16.
+            # Under a mesh OR a quantize mode the params stay on host
+            # here: shard_params/device_put below does the placement,
+            # and quantization in between runs on the host CPU so (a)
+            # the transfer ships the quantized bytes instead of bf16 and
+            # (b) the chip never holds base + merged copies + f32 temps
+            # at once (~13 GB peak at 1.7B — OOMed on a 16 GB chip,
+            # round 4).
             params = load_model_params(
                 model_dir, config, dtype,
-                device=None if mesh is not None else "default",
+                device=None if stay_host else "default",
             )
             logger.info("Weights loaded in %.1fs", time.monotonic() - t0)
+        else:
+            stay_host = mesh is not None  # caller-placed params: leave
         self.enc_params, self.dec_params = params
 
         # A dp-only mesh replicates the weights and shard_maps the fused
@@ -113,6 +121,121 @@ class AsrEngine:
         # — Pallas kernels, int4/lm8 quant, int8 KV — works per shard.
         # Only tensor parallelism (tp > 1) restricts the feature set.
         mesh_tp = mesh.shape.get("tp", 1) if mesh is not None else 1
+        # Host-loaded params quantize on the host CPU (uncommitted
+        # arrays follow default_device); caller-placed device params
+        # are committed and quantize where they live, as before.
+        import contextlib
+
+        if stay_host:
+            try:
+                _qdev = jax.default_device(jax.devices("cpu")[0])
+            except RuntimeError:  # no CPU backend: quantize on default
+                _qdev = contextlib.nullcontext()
+        else:
+            _qdev = contextlib.nullcontext()
+        with _qdev:
+            self._quantize_params(quantize, mesh_tp)
+
+        if stay_host and mesh is None:
+            # placement deferred past quantization: ship the quantized
+            # bytes (0.9-1.6 GB at 1.7B int4/int8 vs 3.1 GB bf16) and
+            # keep the chip clear of the quantization temps. The device
+            # must be EXPLICIT: device_put(x) without one leaves
+            # cpu-backend arrays on the cpu (sharding preserved), and
+            # the whole decode would then stream weights from host
+            # (measured: 0.45x RT at 1.7B — 100x slowdown).
+            dev = jax.devices()[0]
+            self.enc_params = jax.device_put(self.enc_params, dev)
+            self.dec_params = jax.device_put(self.dec_params, dev)
+
+        # int8 KV slab (opt-in): HALF the per-step slab HBM stream and
+        # double the slot capacity; per-(layer,example,head,slot)
+        # symmetric scales, dequantized at the attention site. The
+        # single-utterance/batch graphs use it; serving and streaming
+        # manage their own caches (serving: kv_dtype).
+        if kv_dtype is None:
+            kv_dtype = os.environ.get("ASR_KV")
+        if kv_dtype in (None, "bf16"):
+            self.kv_quant = False
+        elif kv_dtype == "int8":
+            if mesh_tp > 1:
+                raise ValueError(
+                    "kv_dtype='int8' is not supported under tensor "
+                    "parallelism (works on dp-only meshes)"
+                )
+            self.kv_quant = True
+        else:
+            raise ValueError(f"unknown kv_dtype {kv_dtype!r}")
+
+        # Multi-chip: shard the parameters over a (dp, tp) mesh; GSPMD
+        # propagates the shardings through the fused graph and inserts
+        # the collectives (Megatron TP for the decoder, TP-when-heads-
+        # divide for the encoder). The reference has no multi-device
+        # path at all (SURVEY.md §2.3).
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import (
+                decoder_param_specs,
+                encoder_param_specs,
+                int4_decoder_param_specs,
+                quantized_decoder_param_specs,
+                shard_params,
+            )
+
+            tp = mesh.shape.get("tp", 1)
+            self.enc_params = shard_params(
+                self.enc_params, mesh,
+                encoder_param_specs(
+                    config.audio.encoder_attention_heads, tp
+                ),
+            )
+            if quantize == "int8":
+                dec_specs = quantized_decoder_param_specs()
+            elif quantize == "int4" and tp > 1:
+                dec_specs = int4_decoder_param_specs()
+            else:
+                # dp-only meshes replicate whatever layout is in use
+                # (incl. merged/int4/lm8 pytrees): unlisted keys
+                # default to replicated in shard_params
+                dec_specs = decoder_param_specs()
+            self.dec_params = shard_params(self.dec_params, mesh, dec_specs)
+            logger.info("Parameters sharded over mesh %s", dict(mesh.shape))
+
+        if tokenizer is None:
+            tokenizer = AsrTokenizer.from_dir(model_dir)
+        self.tokenizer = tokenizer
+
+        self.frontend = LogMelFrontend(
+            n_fft=400, hop_length=160,
+            num_mel_bins=config.audio.num_mel_bins, sample_rate=16000,
+        )
+        self.encoder = AudioEncoder(config.audio)
+        max_pos = 16
+        for c in self.chunk_buckets:
+            max_pos = max(max_pos, self._prompt_bucket(c) + max_new_tokens + 8)
+        # Prefill always runs the layer scan (compute-bound, compile-
+        # light). Decode steps can optionally unroll the layers — slightly
+        # better weight streaming (~2% e2e on v5e) at ~5x the compile
+        # time, so it is opt-in for long-running servers.
+        self.decoder = TextDecoder(config.text, max_position=max_pos)
+        if unroll_decode:
+            self.decoder_unrolled = TextDecoder(
+                config.text, max_position=max_pos, unroll_layers=True
+            )
+            self.decoder_unrolled.rotary = self.decoder.rotary
+        else:
+            self.decoder_unrolled = self.decoder
+        if mesh_tp > 1:
+            # Pallas kernels are single-device programs; tp-sharded
+            # graphs take the XLA paths so GSPMD can partition them.
+            # dp-only meshes keep the kernels: the fused graph runs
+            # under shard_map, one self-contained program per shard.
+            self.decoder.prefer_xla = True
+            self.decoder_unrolled.prefer_xla = True
+        self._graphs = {}
+
+    def _quantize_params(self, quantize, mesh_tp):
+        """Apply the requested weight-quantization mode in place."""
         if quantize == "int4g":
             # group-wise int4 (the int4 quality hedge): every
             # ASR_INT4_GROUP (default 128) contraction rows get their own
@@ -196,91 +319,6 @@ class AsrEngine:
                 self.dec_params["lm_fold_w"] = w
                 self.dec_params["lm_fold_s"] = s
 
-        # int8 KV slab (opt-in): HALF the per-step slab HBM stream and
-        # double the slot capacity; per-(layer,example,head,slot)
-        # symmetric scales, dequantized at the attention site. The
-        # single-utterance/batch graphs use it; serving and streaming
-        # manage their own (bf16) caches.
-        if kv_dtype is None:
-            kv_dtype = os.environ.get("ASR_KV")
-        if kv_dtype in (None, "bf16"):
-            self.kv_quant = False
-        elif kv_dtype == "int8":
-            if mesh_tp > 1:
-                raise ValueError(
-                    "kv_dtype='int8' is not supported under tensor "
-                    "parallelism (works on dp-only meshes)"
-                )
-            self.kv_quant = True
-        else:
-            raise ValueError(f"unknown kv_dtype {kv_dtype!r}")
-
-        # Multi-chip: shard the parameters over a (dp, tp) mesh; GSPMD
-        # propagates the shardings through the fused graph and inserts
-        # the collectives (Megatron TP for the decoder, TP-when-heads-
-        # divide for the encoder). The reference has no multi-device
-        # path at all (SURVEY.md §2.3).
-        self.mesh = mesh
-        if mesh is not None:
-            from ..parallel.sharding import (
-                decoder_param_specs,
-                encoder_param_specs,
-                int4_decoder_param_specs,
-                quantized_decoder_param_specs,
-                shard_params,
-            )
-
-            tp = mesh.shape.get("tp", 1)
-            self.enc_params = shard_params(
-                self.enc_params, mesh,
-                encoder_param_specs(
-                    config.audio.encoder_attention_heads, tp
-                ),
-            )
-            if quantize == "int8":
-                dec_specs = quantized_decoder_param_specs()
-            elif quantize == "int4" and tp > 1:
-                dec_specs = int4_decoder_param_specs()
-            else:
-                # dp-only meshes replicate whatever layout is in use
-                # (incl. merged/int4/lm8 pytrees): unlisted keys
-                # default to replicated in shard_params
-                dec_specs = decoder_param_specs()
-            self.dec_params = shard_params(self.dec_params, mesh, dec_specs)
-            logger.info("Parameters sharded over mesh %s", dict(mesh.shape))
-
-        if tokenizer is None:
-            tokenizer = AsrTokenizer.from_dir(model_dir)
-        self.tokenizer = tokenizer
-
-        self.frontend = LogMelFrontend(
-            n_fft=400, hop_length=160,
-            num_mel_bins=config.audio.num_mel_bins, sample_rate=16000,
-        )
-        self.encoder = AudioEncoder(config.audio)
-        max_pos = 16
-        for c in self.chunk_buckets:
-            max_pos = max(max_pos, self._prompt_bucket(c) + max_new_tokens + 8)
-        # Prefill always runs the layer scan (compute-bound, compile-
-        # light). Decode steps can optionally unroll the layers — slightly
-        # better weight streaming (~2% e2e on v5e) at ~5x the compile
-        # time, so it is opt-in for long-running servers.
-        self.decoder = TextDecoder(config.text, max_position=max_pos)
-        if unroll_decode:
-            self.decoder_unrolled = TextDecoder(
-                config.text, max_position=max_pos, unroll_layers=True
-            )
-            self.decoder_unrolled.rotary = self.decoder.rotary
-        else:
-            self.decoder_unrolled = self.decoder
-        if mesh_tp > 1:
-            # Pallas kernels are single-device programs; tp-sharded
-            # graphs take the XLA paths so GSPMD can partition them.
-            # dp-only meshes keep the kernels: the fused graph runs
-            # under shard_map, one self-contained program per shard.
-            self.decoder.prefer_xla = True
-            self.decoder_unrolled.prefer_xla = True
-        self._graphs = {}
 
     # ------------------------------------------------------------------ #
 
