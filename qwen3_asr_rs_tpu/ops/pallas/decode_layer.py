@@ -245,18 +245,22 @@ def _kernel(
     first_blk = min_start // block_s
     n_blocks = jnp.maximum(pl.cdiv(max_end, block_s) - first_blk, 0)
 
+    # DMA block starts must be PROVABLY tile-aligned: Mosaic's
+    # divisibility prover cannot see through a raw minimum(), so the
+    # clamp is computed in alignment units and multiplied back (found
+    # at 1.7B batch-8: "tile index in dimension 3 is divisible by the
+    # tiling (8)" compile failure on the slab memref_slice). The k/v
+    # slices need sublane (8) alignment; the int8-KV scale slabs
+    # (1, B, Hkv, S) are sliced on their LANE dim, which needs 128
+    # (found by on-chip probe, round 4) — slab sizes are allocated to
+    # match (engine/serving), enforced by the dispatch-side fallback.
+    blk_align = 128 if kv_quant else 8
+
     def blk_start(i):
-        # clamped so the copy stays in bounds; masking below uses
-        # global slot indices. Both clamp operands are multiples of 8
-        # (block_s and s_max are 8-aligned — asserted at dispatch), but
-        # Mosaic's divisibility prover cannot see through a raw
-        # minimum(): computing in units of 8 and multiplying back makes
-        # the dynamic slice offset PROVABLY tile-aligned (found at 1.7B
-        # batch-8: "tile index in dimension 3 is divisible by 8" compile
-        # failure on the slab memref_slice).
         return jnp.minimum(
-            (first_blk + i) * (block_s // 8), (s_max - block_s) // 8
-        ) * 8
+            (first_blk + i) * (block_s // blk_align),
+            (s_max - block_s) // blk_align,
+        ) * blk_align
 
     def dma(slot, i, buf, hbm, sem_col):
         return pltpu.make_async_copy(
@@ -790,11 +794,14 @@ def decode_layers_fused(
         resident = True
     elif mode == "dma":
         resident = False
-    if not resident and (s_max % 8 or block_s % 8):
-        # the DMA path's clamped block start is computed in units of 8
-        # (Mosaic divisibility proof); a non-8-aligned slab would
-        # silently drop tail KV slots. Engine/serving allocate 8-aligned
-        # slabs; fall back to the resident path otherwise (tiny slabs).
+    blk_align = 128 if kv_quant else 8
+    if not resident and (s_max % blk_align or block_s % blk_align):
+        # the DMA path's clamped block start is computed in alignment
+        # units (Mosaic divisibility proof: 8 for the bf16/int8 k/v
+        # sublane slices, 128 for the int8-KV scale slabs' lane
+        # slices); a misaligned slab would silently drop tail KV slots.
+        # Engine/serving allocate matching slabs; fall back to the
+        # resident path otherwise (tiny or external caches).
         resident = True
 
     def l_of(s):

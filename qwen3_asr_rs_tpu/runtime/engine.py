@@ -502,10 +502,13 @@ class AsrEngine:
                 return cache, tok, n_gen, newly_done, out_buf, step + 1
             return body
 
-        # slab lengths round up to 8: the kernels' DMA block clamps are
-        # computed in units of 8 (Mosaic slice-alignment proof)
+        # slab lengths round up to the kernels' DMA alignment unit
+        # (Mosaic slice-alignment proof): 8 for the k/v sublane slices,
+        # 128 for the int8-KV scale slabs' lane slices
+        _align = 128 if self.kv_quant else 8
+
         def slab_len(cap):
-            return -(-(p + cap + 1) // 8) * 8
+            return -(-(p + cap + 1) // _align) * _align
 
         cache = KVCache.zeros(
             cfg.text, b, slab_len(seg_caps[0]), dtype=self.dtype,

@@ -307,9 +307,11 @@ class ContinuousBatcher:
             + max_new_tokens
             + max(8, segment_steps)
         )
-        # 8-aligned: the decode kernels' DMA block clamps are computed
-        # in units of 8 (Mosaic slice-alignment proof)
-        self.s_max = -(-self.s_max // 8) * 8
+        # aligned to the decode kernels' DMA clamp unit (Mosaic slice-
+        # alignment proof): 8 for bf16 k/v sublane slices, 128 for the
+        # int8-KV scale slabs' lane slices
+        _align = 128 if self.kv_quant else 8
+        self.s_max = -(-self.s_max // _align) * _align
         self.cache = KVCache.zeros(
             cfg.text, n_slots, self.s_max, dtype=engine.dtype,
             quantized=self.kv_quant,
