@@ -1,4 +1,4 @@
-.PHONY: all native test test-quick test-fast bench dryrun ci ci-full tpu-smoke verify-real clean
+.PHONY: all native test test-quick test-fast bench dryrun ci ci-full tpu-smoke tpu-smoke-full verify-real clean
 
 # Local mirror of .github/workflows/ci.yml — quick tier (~2 min): every
 # subsystem's light tests + the multi-chip dryrun. `make ci-full` runs
@@ -34,6 +34,11 @@ bench:
 # the attached TPU (no interpret mode) and checks numerics vs XLA.
 tpu-smoke:
 	python scripts/tpu_kernel_check.py
+
+# adds the fused decode paths only reachable past the VMEM budget
+# (both round-4 Mosaic alignment failures lived there) — slower
+tpu-smoke-full: tpu-smoke
+	python scripts/tpu_decode_check.py
 
 # One-command real-weight gate (runs the moment a checkpoint is
 # available; see docs and scripts/eval_fixtures.py):
