@@ -667,6 +667,17 @@ class TextDecoder:
             + nq_d * h          # o_w
         )
         ffn_w_elems = 3 * h * inter  # gate_w, up_w, down_w
+        gs_bytes = 0
+        if int4 and "qkv_w_s" in layers and layers["qkv_w_s"].ndim == 3:
+            # grouped int4: four (G_w, N_w) f32 scale blocks ride the
+            # per-layer pipeline (merged layout; guarded by the caller)
+            gs = h // layers["qkv_w_s"].shape[1]
+            gs_bytes = 4 * (
+                (h // gs) * (nq_d + 2 * nkv_d)
+                + (nq_d // gs) * h
+                + (h // gs) * 2 * inter
+                + (inter // gs) * h
+            )
         slab_bytes = jnp.dtype(cache.k.dtype).itemsize
         block_s = min(512 if b == 1 else 128, cache.max_len)
         attn_bufs = (
@@ -714,7 +725,8 @@ class TextDecoder:
                 if inter % nt or (inter // nt) % 128:
                     continue
             per_layer = (
-                (attn_w_elems + ffn_w_elems // nt) * wbytes + kv_out_bytes
+                (attn_w_elems + ffn_w_elems // nt) * wbytes
+                + gs_bytes + kv_out_bytes
             )
             total = 2 * per_layer + attn_bufs + lm_bufs + const
             if total <= VMEM_LIMIT_BYTES:
@@ -760,12 +772,15 @@ class TextDecoder:
                 for n in ("q_w", "q_w_q", "q_w_q4", "qkv_w_q", "qkv_w_q4")
             )
             and "q_b" not in params["layers"]
-            # group-wise int4 scales ((L, G, N) instead of (L, N)) vary
-            # along the contraction dim: the megakernel applies scales
-            # post-dot per column, so int4g decodes through the scan path
-            and not any(
-                n.endswith("_s") and getattr(v, "ndim", 0) == 3
-                for n, v in params["layers"].items()
+            # group-wise int4 scales ((L, G, N) instead of (L, N)): the
+            # megakernel dequantizes them per group in VMEM, but only
+            # in the MERGED layout — unmerged int4g keeps the scan path
+            and (
+                "qkv_w_q4" in params["layers"]
+                or not any(
+                    n.endswith("_s") and getattr(v, "ndim", 0) == 3
+                    for n, v in params["layers"].items()
+                )
             )
         )
         nt = (

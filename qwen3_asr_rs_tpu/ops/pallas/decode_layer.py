@@ -106,7 +106,7 @@ def _rms_norm(x, w, eps):
     return (xf * jax.lax.rsqrt(var + eps)) * w.astype(jnp.float32)
 
 
-def _mm(x, w, scale, cdt, int4=False):
+def _mm(x, w, scale, cdt, int4=False, gscale=None, gsize=0):
     """(R, K) @ (K, N) in the compute dtype with f32 accumulation.
 
     ``w`` may be int8 (weight-only quantization): int8 values are exact
@@ -134,6 +134,26 @@ def _mm(x, w, scale, cdt, int4=False):
             preferred_element_type=jnp.float32,
         )
 
+    if int4 and gscale is not None:
+        # GROUP-WISE scales (int4g): scales vary along K, so the usual
+        # post-dot per-column apply does not commute. Instead the
+        # unpacked nibbles are scaled per (group, column) IN VMEM (a
+        # (K, N) VPU multiply in the compute dtype — int4 values are
+        # exact in bf16; the scale multiply adds ~2^-9 relative
+        # rounding, far under the 4-bit grid) and ONE full-K MXU dot
+        # runs per half. Keeps the megakernel's weight stream at int4
+        # bytes; `scale` (per-column ones) is ignored.
+        p = w.astype(jnp.int32)
+        k, n2 = w.shape
+        n_groups = k // gsize
+        slo = gscale[:, :n2].astype(cdt)[:, None, :]       # (G, 1, N/2)
+        shi = gscale[:, n2: 2 * n2].astype(cdt)[:, None, :]
+        lo = ((p << 28) >> 28).astype(cdt)
+        hi = (p >> 4).astype(cdt)
+        lo = (lo.reshape(n_groups, gsize, n2) * slo).reshape(k, n2)
+        hi = (hi.reshape(n_groups, gsize, n2) * shi).reshape(k, n2)
+        xc = x.astype(cdt)
+        return jnp.concatenate([dot(xc, lo), dot(xc, hi)], axis=-1)
     if int4:
         p = w.astype(jnp.int32)
         lo = ((p << 28) >> 28).astype(cdt)
@@ -184,8 +204,15 @@ def _kernel(
     kv_quant: bool,
     ffn_tiles: int,
     quantized: bool,
+    gsize: int = 0,
 ):
-    if merged:
+    if merged and gsize:
+        # grouped int4 scales ride as four extra per-layer refs
+        # ((1, G_w, N_w) f32 each) after the packed per-column scales
+        (qkv_w_ref, o_w_ref, gateup_w_ref, down_w_ref,
+         scales_ref, qkv_gs_ref, o_gs_ref, gateup_gs_ref, down_gs_ref,
+         k_hbm, v_hbm, *rest) = refs
+    elif merged:
         (qkv_w_ref, o_w_ref, gateup_w_ref, down_w_ref,
          scales_ref, k_hbm, v_hbm, *rest) = refs
     else:
@@ -208,6 +235,13 @@ def _kernel(
     scale = d ** -0.5
     b = batch
     mult = 2 if int4 else 1
+    if merged and gsize:
+        qkv_gs = qkv_gs_ref[0]
+        o_gs = o_gs_ref[0]
+        gateup_gs = gateup_gs_ref[0]
+        down_gs = down_gs_ref[0]
+    else:
+        qkv_gs = o_gs = gateup_gs = down_gs = None
 
     @pl.when(step == 0)
     def _init():
@@ -288,7 +322,8 @@ def _kernel(
             # ONE wide dot for q|k|v (column concat commutes with the
             # contraction; per-column scales)
             qkv = _mm(
-                xn, qkv_w_ref[0], sc(0, nq_d + 2 * nkv_d), cdt, int4
+                xn, qkv_w_ref[0], sc(0, nq_d + 2 * nkv_d), cdt, int4,
+                qkv_gs, gsize,
             ).astype(cdt)
             q = qkv[:, :nq_d]
             k = qkv[:, nq_d : nq_d + nkv_d]
@@ -333,7 +368,8 @@ def _kernel(
             xn2 = _rms_norm(h2, norms_ref[0, 1][None, :], eps).astype(cdt)
             if merged:
                 gu = _mm(
-                    xn2, gateup_w_ref[0], sc(4, 2 * inter), cdt, int4
+                    xn2, gateup_w_ref[0], sc(4, 2 * inter), cdt, int4,
+                    gateup_gs, gsize,
                 ).astype(cdt)
                 gate, up = gu[:, :inter], gu[:, inter:]
             else:
@@ -348,7 +384,8 @@ def _kernel(
                 * jax.nn.sigmoid(gate.astype(jnp.float32))
             ).astype(cdt)  # silu, rounded like the scan path
             down = _mm(
-                gate * up, down_w_ref[0], sc(6, h_dim), cdt, int4
+                gate * up, down_w_ref[0], sc(6, h_dim), cdt, int4,
+                down_gs, gsize,
             ).astype(cdt)
             h3 = (h2.astype(cdt) + down).astype(jnp.float32)
             h_scr[:b] = h3
@@ -423,7 +460,8 @@ def _kernel(
                 attn_rows.append(ab.astype(cdt).reshape(1, hq * d))
             attn = jnp.concatenate(attn_rows, axis=0)  # (B, Hq*D)
 
-            o = _mm(attn, o_w_ref[0], sc(3, h_dim), cdt, int4).astype(cdt)
+            o = _mm(attn, o_w_ref[0], sc(3, h_dim), cdt, int4,
+                    o_gs, gsize).astype(cdt)
             h2 = (h.astype(cdt) + o).astype(jnp.float32)
             _mlp_and_store(h2)
             return
@@ -531,7 +569,8 @@ def _kernel(
         out = (acc * corr + p_self * v_self) / jnp.maximum(denom, 1e-30)
         attn = out.astype(cdt).reshape(b, hq * d)
 
-        o = _mm(attn, o_w_ref[0], sc(3, h_dim), cdt, int4).astype(cdt)
+        o = _mm(attn, o_w_ref[0], sc(3, h_dim), cdt, int4,
+                o_gs, gsize).astype(cdt)
         h2 = (h.astype(cdt) + o).astype(jnp.float32)
         _mlp_and_store(h2)
 
@@ -686,6 +725,23 @@ def decode_layers_fused(
     else:
         weights = {n: layers[n] for n in names}
 
+    # group-wise int4 scales ((L, G_w, N_w) instead of (L, N_w)): ride
+    # as four extra per-layer refs; merged layout only (the unmerged
+    # dispatch keeps the scan path — engine int4g always merges)
+    gsize = 0
+    gscales = []
+    if int4 and any(layers[f"{n}_s"].ndim == 3 for n in names):
+        if not merged:
+            raise ValueError(
+                "grouped int4 scales need the merged layout in the "
+                "megakernel (ASR_MERGE_QKV=0 composes with the scan "
+                "path only)"
+            )
+        gsize = h_dim // layers["qkv_w_s"].shape[1]
+        gscales = [
+            layers[f"{n}_s"].astype(jnp.float32) for n in names
+        ]
+
     # logical (unpacked) output dims; int4 blocks are half-width
     nkv_d = hkv * d
     if merged:
@@ -700,7 +756,8 @@ def decode_layers_fused(
     groups = nq_d // nkv_d
 
     scales_packed, norms_packed = _pack_aux(
-        layers, names, rows, quantized or int4, nl, h_dim, d, max_n
+        layers, names, rows, (quantized or int4) and not gsize,
+        nl, h_dim, d, max_n,
     )
 
     # --- lm head folding operands
@@ -764,6 +821,8 @@ def decode_layers_fused(
     w_block_bytes = sum(
         int(_np.prod(w.shape[1:])) * w.dtype.itemsize
         for w in weights.values()
+    ) + sum(
+        int(_np.prod(g.shape[1:])) * g.dtype.itemsize for g in gscales
     )
     if ffn_tiles > 1:
         # gate/up/down stream in 1/ffn_tiles-wide blocks
@@ -894,6 +953,9 @@ def decode_layers_fused(
             pl.BlockSpec((1, 8, h_dim), lay3),         # packed norms
             *weight_specs,
             pl.BlockSpec((1, 8, max_n), lay3),         # packed scales
+            *(
+                pl.BlockSpec((1,) + g.shape[1:], lay3) for g in gscales
+            ),                                         # grouped scales
             *slab_specs,                               # k/v slab
             *(
                 [
@@ -941,6 +1003,7 @@ def decode_layers_fused(
         kv_quant=kv_quant,
         ffn_tiles=ffn_tiles,
         quantized=quantized,
+        gsize=gsize,
     )
 
     h_out, tok_out, ks, vs = pl.pallas_call(
@@ -967,6 +1030,7 @@ def decode_layers_fused(
         norms_packed,
         *(weights[n] for n in names),
         scales_packed,
+        *gscales,
         k_slabs, v_slabs,
         *([k_scales, v_scales] if kv_quant else []),
         lm_w, lm_s,

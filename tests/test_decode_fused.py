@@ -78,6 +78,53 @@ def test_fused_quantized_matches_quantized_scan(rng, monkeypatch):
     )
 
 
+def test_fused_int4g_matches_grouped_scan(rng, monkeypatch):
+    """int4g megakernel (per-group VMEM dequant before one MXU dot)
+    == the scan path's batched per-group dots."""
+    from qwen3_asr_rs_tpu.weights.quantize import quantize_decoder_params
+
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    qparams = quantize_decoder_params(
+        params, bits=4, group_size=16, lm_bits=8
+    )
+    assert "qkv_w_q4" in qparams["layers"]  # merged (kernel requirement)
+    assert qparams["layers"]["qkv_w_s"].ndim == 3
+    dec = TextDecoder(cfg, max_position=256)
+
+    cache = KVCache.zeros(cfg, 1, 48, dtype=jnp.float32)
+    tok = jnp.asarray([11], jnp.int32)
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "scan")
+    l_scan, c_scan = dec.decode_step(qparams, tok, jnp.int32(20), cache)
+    monkeypatch.setenv("ASR_DECODE_IMPL", "fused")
+    l_fused, c_fused = dec.decode_step(qparams, tok, jnp.int32(20), cache)
+
+    # kernel pre-scales weights in the compute dtype, scan path applies
+    # f32 scales after per-group dots: reassociation-level differences
+    np.testing.assert_allclose(
+        np.asarray(l_fused), np.asarray(l_scan), atol=5e-3, rtol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_fused.k), np.asarray(c_scan.k), atol=5e-3, rtol=5e-3
+    )
+
+
+def test_fused_int4g_unmerged_stays_on_scan(rng, monkeypatch):
+    """Unmerged grouped int4 is megakernel-ineligible (scan fallback)."""
+    from qwen3_asr_rs_tpu.weights.quantize import quantize_decoder_params
+
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    qparams = quantize_decoder_params(
+        params, bits=4, merge=False, group_size=16, lm_bits=8
+    )
+    assert "q_w_q4" in qparams["layers"]
+    dec = TextDecoder(cfg, max_position=256)
+    cache = KVCache.zeros(cfg, 1, 48, dtype=jnp.float32)
+    assert dec._use_fused_step(qparams, 1, jnp.int32(20), cache) == 0
+
+
 def test_fused_batched_aligned_matches_scan(rng, monkeypatch):
     """Batched right-aligned fused step == scan path (per-example masks)."""
     cfg = tiny_test_config().text
