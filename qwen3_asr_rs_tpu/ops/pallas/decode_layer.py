@@ -136,24 +136,36 @@ def _mm(x, w, scale, cdt, int4=False, gscale=None, gsize=0):
 
     if int4 and gscale is not None:
         # GROUP-WISE scales (int4g): scales vary along K, so the usual
-        # post-dot per-column apply does not commute. Instead the
-        # unpacked nibbles are scaled per (group, column) IN VMEM (a
-        # (K, N) VPU multiply in the compute dtype — int4 values are
-        # exact in bf16; the scale multiply adds ~2^-9 relative
-        # rounding, far under the 4-bit grid) and ONE full-K MXU dot
-        # runs per half. Keeps the megakernel's weight stream at int4
-        # bytes; `scale` (per-column ones) is ignored.
+        # post-dot per-column apply does not commute. One BATCHED MXU
+        # dot per half with the group dim as the batch, then the f32
+        # (G, N) scales multiply the PARTIALS (G, R, N) and the group
+        # dim sums away — G*N VPU ops per projection instead of the
+        # K*N a weight pre-scale costs (measured: pre-scale burned
+        # ~1.3 ms/token of VPU at 1.7B). Same scale-application
+        # precision as the scan path's grouped XLA dots. `scale`
+        # (per-column ones) is ignored.
         p = w.astype(jnp.int32)
         k, n2 = w.shape
         n_groups = k // gsize
-        slo = gscale[:, :n2].astype(cdt)[:, None, :]       # (G, 1, N/2)
-        shi = gscale[:, n2: 2 * n2].astype(cdt)[:, None, :]
-        lo = ((p << 28) >> 28).astype(cdt)
-        hi = (p >> 4).astype(cdt)
-        lo = (lo.reshape(n_groups, gsize, n2) * slo).reshape(k, n2)
-        hi = (hi.reshape(n_groups, gsize, n2) * shi).reshape(k, n2)
-        xc = x.astype(cdt)
-        return jnp.concatenate([dot(xc, lo), dot(xc, hi)], axis=-1)
+        lo = ((p << 28) >> 28).astype(cdt).reshape(n_groups, gsize, n2)
+        hi = (p >> 4).astype(cdt).reshape(n_groups, gsize, n2)
+        xg = jnp.transpose(
+            x.astype(cdt).reshape(x.shape[0], n_groups, gsize), (1, 0, 2)
+        )  # (G, R, g)
+
+        def bdot(a, b):  # (G, R, g) @ (G, g, N/2) -> f32 (G, R, N/2)
+            return jax.lax.dot_general(
+                a, b, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+
+        # two-step slice-then-newaxis: the fused [:, None, :n2] indexing
+        # lowers as a (shape-mismatched) gather in Mosaic
+        slo = gscale[:, :n2][:, None, :]
+        shi = gscale[:, n2: 2 * n2][:, None, :]
+        y_lo = jnp.sum(bdot(xg, lo) * slo, axis=0)
+        y_hi = jnp.sum(bdot(xg, hi) * shi, axis=0)
+        return jnp.concatenate([y_lo, y_hi], axis=-1)
     if int4:
         p = w.astype(jnp.int32)
         lo = ((p << 28) >> 28).astype(cdt)

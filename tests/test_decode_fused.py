@@ -110,6 +110,28 @@ def test_fused_int4g_matches_grouped_scan(rng, monkeypatch):
     )
 
 
+def test_fused_int4g_with_int8_kv_matches_scan(rng, monkeypatch):
+    """int4g grouped refs + int8-KV scale refs compose (ref ordering)."""
+    from qwen3_asr_rs_tpu.weights.quantize import quantize_decoder_params
+
+    cfg = tiny_test_config().text
+    params = init_decoder_params(cfg, dtype=jnp.float32)
+    qparams = quantize_decoder_params(
+        params, bits=4, group_size=16, lm_bits=8
+    )
+    dec = TextDecoder(cfg, max_position=256)
+    cache = KVCache.zeros(cfg, 1, 48, dtype=jnp.float32, quantized=True)
+    tok = jnp.asarray([7], jnp.int32)
+
+    monkeypatch.setenv("ASR_DECODE_IMPL", "scan")
+    l_scan, _ = dec.decode_step(qparams, tok, jnp.int32(12), cache)
+    monkeypatch.setenv("ASR_DECODE_IMPL", "fused")
+    l_fused, _ = dec.decode_step(qparams, tok, jnp.int32(12), cache)
+    np.testing.assert_allclose(
+        np.asarray(l_fused), np.asarray(l_scan), atol=5e-3, rtol=5e-3
+    )
+
+
 def test_fused_int4g_unmerged_stays_on_scan(rng, monkeypatch):
     """Unmerged grouped int4 is megakernel-ineligible (scan fallback)."""
     from qwen3_asr_rs_tpu.weights.quantize import quantize_decoder_params
