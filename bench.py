@@ -2,9 +2,10 @@
 
 Measures the full fused pipeline (log-mel -> audio encoder -> prefill ->
 greedy decode loop on device) with synthetic weights at the exact 0.6B
-architecture, in six configurations:
+architecture, across:
 
-  * bf16, int8, and int4 (weight-only) precision;
+  * bf16, int8, int4, and int4g (group-wise-scale int4) weight-only
+    precision;
   * a 30 s clip decoding 128 tokens (throughput regime — decode-bound;
     random weights never emit EOS, so the loop runs to the cap, an upper
     bound on real decode work, making the number conservative), and
@@ -191,8 +192,9 @@ def _run(rows, budget):
 
     t_start = time.perf_counter()
     # bf16 headline first; int4 (the best number) before int8 so a
-    # budget truncation drops the least informative rows
-    for quant in (None, "int4", "int8"):
+    # budget truncation drops the least informative rows. int4g (the
+    # quality-credible 4-bit mode, round 4) gets a throughput row last.
+    for quant in (None, "int4", "int8", "int4g"):
         tag = quant or "bf16"
         print(f"--- {tag} 30 s / 128 tok", file=sys.stderr)
         eng = _mk_engine(config, params, quant, max_new=128, bucket=30)
@@ -203,6 +205,8 @@ def _run(rows, budget):
         if time.perf_counter() - t_start > budget:
             rows["truncated_at"] = f"{tag}_30s (budget {budget:.0f}s)"
             break
+        if quant == "int4g":
+            break  # no latency row for the last config
 
         print(f"--- {tag} 4 s / 16 tok (latency)", file=sys.stderr)
         eng = _mk_engine(config, params, quant, max_new=16, bucket=4)

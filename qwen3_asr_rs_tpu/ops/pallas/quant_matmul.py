@@ -181,14 +181,17 @@ def quantize_weight_int4_grouped(w, group_size: int = 128):
 
     Returns (packed int8 (K, N//2) — same (j, j + N/2) nibble pairing
     as quantize_weight_int4 — and scales f32 (K // group_size, N)).
-    K must be divisible by group_size, N by 2.
+    group_size is clamped to the largest divisor of K when K is not a
+    multiple of it (tiny/test shapes); N must be even.
     """
     wf = jnp.asarray(w, jnp.float32)
     k, n = wf.shape
     if k % group_size:
-        raise ValueError(
-            f"int4 grouping needs K divisible by group_size "
-            f"({group_size}), got K={k}"
+        # Clamp to the largest divisor of K <= the requested size so
+        # tiny/test configs (K=64 < 128) still quantize; production
+        # dims are multiples of 128 and never take this branch.
+        group_size = next(
+            d for d in range(min(group_size, k), 0, -1) if k % d == 0
         )
     if n % 2:
         raise ValueError(f"int4 packing needs even output dim, got {n}")

@@ -367,6 +367,26 @@ def test_int4_grouped_roundtrip_and_matmul(rng):
     )
 
 
+def test_int4_grouped_clamps_group_size_to_k_divisor(rng):
+    """K smaller than (or not a multiple of) the requested group size
+    clamps to the largest divisor instead of raising — tiny/test
+    configs (K=64 < default 128) must still run int4g end to end."""
+    from qwen3_asr_rs_tpu.ops.pallas.quant_matmul import (
+        dequantize_int4_grouped,
+        quantize_weight_int4_grouped,
+    )
+
+    for k, req, eff in ((64, 128, 64), (96, 128, 96), (80, 32, 20)):
+        w = jnp.asarray(rng.standard_normal((k, 32)) * 0.1, jnp.float32)
+        packed, scales = quantize_weight_int4_grouped(w, group_size=req)
+        assert scales.shape == (k // eff, 32), (k, req, scales.shape)
+        deq = dequantize_int4_grouped(packed, scales)
+        step = np.repeat(np.asarray(scales), eff, axis=0)
+        assert np.all(
+            np.abs(np.asarray(deq) - np.asarray(w)) <= step / 2 + 1e-7
+        )
+
+
 def test_int4_grouped_beats_per_channel_on_outliers(rng):
     """The motivating case: one outlier row per channel crushes
     per-channel int4 resolution; group-wise scales contain the damage
