@@ -35,6 +35,17 @@ Arguments:
                the language (exact reference semantics); with several
                audio files (one batched TPU dispatch) use --language.
 
+Options (extensions beyond the reference binary):
+  --temperature T   Stochastic decode (default 0 = greedy argmax, the
+                    reference's semantics). Not available for audio
+                    longer than the largest bucket (long-form stitching
+                    needs deterministic transcripts).
+  --top-k K         With --temperature: sample among the K most likely
+                    tokens only (0 = disabled).
+  --top-p P         With --temperature: nucleus sampling mass (1.0 =
+                    disabled).
+  --seed N          PRNG seed for --temperature (default 0).
+
 The audio file will be automatically converted to mono 16kHz f32 for the
 model.
 
@@ -74,6 +85,7 @@ def main(argv=None) -> int:
     # existing file); the one genuinely ambiguous case — a file named
     # like a language — gets a warning instead of a silent guess.
     language = None
+    sample_opts = {"temperature": 0.0, "top-k": 0, "top-p": 1.0, "seed": 0}
     rest = []
     it = iter(argv[1:])
     for arg in it:
@@ -84,6 +96,21 @@ def main(argv=None) -> int:
                 return 1
         elif arg.startswith("--language="):
             language = arg.split("=", 1)[1]
+        elif arg.startswith("--") and arg.lstrip("-").split("=")[0] in (
+            sample_opts
+        ):
+            name, eq, val = arg.lstrip("-").partition("=")
+            if not eq:
+                val = next(it, None)
+            if val is None:
+                print(f"Error: --{name} needs a value", file=sys.stderr)
+                return 1
+            try:
+                cast = int if name in ("top-k", "seed") else float
+                sample_opts[name] = cast(val)
+            except ValueError:
+                print(f"Error: bad --{name} value {val!r}", file=sys.stderr)
+                return 1
         else:
             rest.append(arg)
     if language is None and len(rest) == 2:
@@ -137,11 +164,27 @@ def main(argv=None) -> int:
             dump_metrics(metrics_path)
 
     from .errors import AsrError
+    from .runtime.sampling import SamplingParams
+
+    sampling = None
+    if sample_opts["temperature"] > 0:
+        try:
+            sampling = SamplingParams(
+                temperature=sample_opts["temperature"],
+                top_k=sample_opts["top-k"],
+                top_p=sample_opts["top-p"],
+                seed=sample_opts["seed"],
+            ).validate()
+        except ValueError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
 
     try:
         if len(audio_files) == 1:
             logger.info("Transcribing: %s", audio_files[0])
-            result = engine.transcribe(audio_files[0], language)
+            result = engine.transcribe(
+                audio_files[0], language, sampling=sampling
+            )
             print(f"Language: {result.language}")
             print(f"Text: {result.text}")
             finish()
@@ -151,7 +194,9 @@ def main(argv=None) -> int:
         from .audio.load import load_audio
 
         samples = [load_audio(f, 16000) for f in audio_files]
-        results = engine.transcribe_batch(samples, [language] * len(samples))
+        results = engine.transcribe_batch(
+            samples, [language] * len(samples), sampling=sampling
+        )
         for f, result in zip(audio_files, results):
             print(f"File: {f}")
             print(f"Language: {result.language}")

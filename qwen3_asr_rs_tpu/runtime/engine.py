@@ -355,9 +355,14 @@ class AsrEngine:
             return 1  # tp graphs go through GSPMD whole
         return self.mesh.shape.get("dp", 1)
 
-    def _graph(self, num_chunks: int, batch: int):
-        key = (num_chunks, batch)
+    def _graph(self, num_chunks: int, batch: int, sample_cfg=None):
+        """``sample_cfg``: None for greedy, else static (top_k, top_p) —
+        sampling graphs take two extra traced args (rng_key,
+        temperature) and are cached separately."""
+        key = (num_chunks, batch, sample_cfg)
         if key not in self._graphs:
+            sample = sample_cfg is not None
+            top_k, top_p = sample_cfg if sample else (0, 1.0)
             dp = self._dp_size()
             if dp > 1 and batch % dp == 0:
                 # dp-only mesh: run the fused graph under shard_map —
@@ -371,20 +376,30 @@ class AsrEngine:
                 fn = functools.partial(
                     self._transcribe_graph, num_chunks,
                     force_aligned=batch > 1,
+                    sample=sample, top_k=top_k, top_p=top_p,
+                    # replicated key: each shard folds in its dp index
+                    # so rows don't share Gumbel noise across shards
+                    dp_axis="dp" if sample else None,
                 )
                 data = P("dp")
+                in_specs = (P(), P(), data, data, data, data, data)
+                if sample:
+                    in_specs = in_specs + (P(), P())
                 self._graphs[key] = jax.jit(
                     shard_map(
                         fn,
                         mesh=self.mesh,
-                        in_specs=(P(), P(), data, data, data, data, data),
+                        in_specs=in_specs,
                         out_specs=(data, data),
                         check_rep=False,
                     )
                 )
             else:
                 self._graphs[key] = jax.jit(
-                    functools.partial(self._transcribe_graph, num_chunks)
+                    functools.partial(
+                        self._transcribe_graph, num_chunks,
+                        sample=sample, top_k=top_k, top_p=top_p,
+                    )
                 )
         return self._graphs[key]
 
@@ -400,12 +415,28 @@ class AsrEngine:
         live,            # (B,) bool — False rows are batch padding: they
         #                 are born done, so they generate ZERO tokens and
         #                 never extend the decode while_loop
+        rng_key=None,    # (2,) uint32 PRNG key (sampling graphs only)
+        temperature=None,  # traced f32 scalar (sampling graphs only)
         force_aligned: bool = False,  # static: right-aligned ids even
         #                 at (local) B == 1 — shard_map shards a global
         #                 aligned batch into possibly-single-row locals
+        sample: bool = False,  # static: stochastic decode (sampling.py)
+        top_k: int = 0,        # static sampling filters — distinct
+        top_p: float = 1.0,    # values compile distinct graphs
+        dp_axis: Optional[str] = None,  # static: under shard_map, fold
+        #                 the shard index into the key (replicated keys
+        #                 would correlate rows across shards)
     ):
         cfg = self.config
         b = wave.shape[0]
+        if sample:
+            from .sampling import sample_token
+
+            base_key = rng_key
+            if dp_axis is not None:
+                base_key = jax.random.fold_in(
+                    base_key, jax.lax.axis_index(dp_axis)
+                )
 
         mel = jax.vmap(
             lambda w, n: log_mel_from_padded(
@@ -489,7 +520,24 @@ class AsrEngine:
                 out_buf = out_buf.at[barange, n_gen].set(tok)
                 n_gen = jnp.where(newly_done, n_gen, n_gen + 1)
                 dec = self.decoder_unrolled
-                if aligned:
+                if sample:
+                    # logits-variant steps + on-device sampling; one
+                    # fresh key per step (fold_in of the global step
+                    # counter, which runs across slab segments)
+                    if aligned:
+                        logits, cache = dec.decode_step_aligned(
+                            dec_params, tok, jnp.int32(p) + step,
+                            kv_start, cache
+                        )
+                    else:
+                        logits, cache = dec.decode_step(
+                            dec_params, tok, true_len[0] + step, cache
+                        )
+                    tok = sample_token(
+                        logits, jax.random.fold_in(base_key, step + 1),
+                        temperature, top_k, top_p,
+                    )
+                elif aligned:
                     # all examples write the SAME slot: P + step
                     tok, cache = dec.decode_step_aligned_token(
                         dec_params, tok, jnp.int32(p) + step, kv_start,
@@ -522,7 +570,13 @@ class AsrEngine:
             logits, cache = self.decoder.prefill(
                 dec_params, hidden, slots, cache, true_len[0]
             )
-        tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if sample:
+            tok0 = sample_token(
+                logits, jax.random.fold_in(base_key, 0),
+                temperature, top_k, top_p,
+            )
+        else:
+            tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         state = (
             cache, tok0, jnp.zeros((b,), jnp.int32),
@@ -600,14 +654,18 @@ class AsrEngine:
         self,
         samples: np.ndarray,
         language: Optional[str] = None,
+        sampling=None,
     ) -> TranscribeResult:
         """Transcribe mono 16 kHz f32 samples (single bucketed dispatch)."""
-        return self.transcribe_batch([samples], [language])[0]
+        return self.transcribe_batch(
+            [samples], [language], sampling=sampling
+        )[0]
 
     def transcribe_batch(
         self,
         samples_list: list,
         languages: Optional[list] = None,
+        sampling=None,
     ) -> list:
         """Transcribe a batch of utterances in ONE device dispatch.
 
@@ -615,7 +673,15 @@ class AsrEngine:
         batched KV cache, and a single prefill + decode loop with
         per-example EOS. This is the serving fast path the reference has
         no analog of: decode weight streaming amortizes across the batch.
+
+        ``sampling`` (runtime/sampling.SamplingParams) switches greedy
+        argmax for temperature / top-k / top-p sampling on device; None
+        or temperature <= 0 is exact greedy (the same compiled graph as
+        before the parameter existed).
         """
+        from .sampling import normalize
+
+        sampling = normalize(sampling)
         n_real = len(samples_list)
         if n_real == 0:
             return []
@@ -684,7 +750,17 @@ class AsrEngine:
             b, bucket_chunks, p_bucket,
         )
 
-        graph = self._graph(bucket_chunks, b)
+        sample = not sampling.greedy
+        graph = self._graph(
+            bucket_chunks, b,
+            (sampling.top_k, sampling.top_p) if sample else None,
+        )
+        extra = ()
+        if sample:
+            extra = (
+                jax.random.PRNGKey(sampling.seed),
+                jnp.float32(sampling.temperature),
+            )
         with stage_timer("device_dispatch"):
             out_buf, n_gen = graph(
                 self.enc_params,
@@ -694,6 +770,7 @@ class AsrEngine:
                 jnp.asarray(np.stack(token_ids)),
                 jnp.asarray(np.asarray(true_lens, np.int32)),
                 jnp.asarray(live),
+                *extra,
             )
             out_buf = np.asarray(out_buf)
             n_gen = np.asarray(n_gen)
@@ -715,12 +792,19 @@ class AsrEngine:
         language: Optional[str] = None,
         segment_seconds: Optional[float] = None,
         overlap_seconds: float = 2.0,
+        sampling=None,
     ) -> TranscribeResult:
         """Transcribe an audio file of any length.
 
         Audio longer than the largest bucket is transcribed in overlapped
         segments stitched at the transcript level (runtime/longform.py).
+        Long-form is greedy-only: overlap stitching matches the two
+        segments' transcripts at the junction, which stochastic decoding
+        would systematically break.
         """
+        from .sampling import normalize
+
+        sampling = normalize(sampling)
         samples = load_audio(audio_path, 16000)
         # clamp to bucket capacity: a larger segment_seconds would cut
         # segments no bucket can hold and _pick_bucket would raise
@@ -729,7 +813,16 @@ class AsrEngine:
             self.max_bucket_seconds,
         )
         if len(samples) <= int(max_seconds * 16000):
-            return self.transcribe_samples(samples, language)
+            return self.transcribe_samples(
+                samples, language, sampling=sampling
+            )
+        if not sampling.greedy:
+            raise ValueError(
+                "sampling is not supported on long-form audio: overlap "
+                "stitching needs deterministic transcripts at segment "
+                "junctions (pass sampling=None, or transcribe segments "
+                "yourself via transcribe_samples)"
+            )
 
         logger.info(
             "Long-form audio (%.1fs): overlapped segments of %.0fs",

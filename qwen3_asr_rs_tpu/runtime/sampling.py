@@ -1,0 +1,135 @@
+"""Stochastic decoding: temperature / top-k / top-p (nucleus) sampling.
+
+The reference is greedy-only — its decode loop takes argmax every step
+(src/inference.rs:160-200) — so this is a capability extension, not a
+parity item. It exists for the serving surface: the OpenAI transcription
+API this server is compatible with exposes a ``temperature`` parameter,
+and Whisper-style deployments raise it to break repetition loops on
+hard audio.
+
+Everything here is shape-static and jit-safe: ``sample_token`` runs
+INSIDE the on-device decode ``while_loop``/``fori_loop``, so a sampled
+decode still costs one host sync per utterance (or per serving segment),
+exactly like the greedy path.
+
+Design notes (TPU):
+  * ``top_k`` and ``top_p`` are STATIC (Python) values: a disabled
+    filter must compile to nothing — a nucleus filter is a full-vocab
+    sort (V = 151,936) per step, which should only be in the graph when
+    requested. Distinct values compile distinct graphs (deployments pin
+    them once).
+  * ``temperature`` is TRACED (scalar or per-row vector), so serving can
+    hold a per-slot temperature vector in device state and mixed
+    greedy/sampled requests share one segment graph: rows with
+    temperature <= 0 take the argmax inside the same program.
+  * One PRNG key per step is enough for a whole batch:
+    ``jax.random.categorical`` draws Gumbel noise of the full
+    ``logits.shape``, so rows are independent. Across dp *shard_map*
+    shards the caller must fold in the shard index (the engine does) —
+    the same key on every shard would give shard-local row i identical
+    noise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """Decoding hyper-parameters for one transcription call.
+
+    ``temperature <= 0`` means pure greedy (the default — identical
+    graphs and tokens to not passing params at all). ``top_k = 0`` and
+    ``top_p >= 1`` disable those filters.
+    """
+
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    seed: int = 0
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature <= 0.0
+
+    def validate(self) -> "SamplingParams":
+        if self.top_k < 0:
+            raise ValueError(f"top_k must be >= 0, got {self.top_k}")
+        if not 0.0 < self.top_p <= 1.0:
+            raise ValueError(
+                f"top_p must be in (0, 1], got {self.top_p}"
+            )
+        if self.temperature < 0.0:
+            raise ValueError(
+                f"temperature must be >= 0, got {self.temperature}"
+            )
+        return self
+
+
+def apply_top_k(logits, top_k: int):
+    """Keep the ``top_k`` largest logits per row, -inf the rest.
+
+    ``top_k`` is static; 0 (or >= vocab) is the identity.
+    """
+    if top_k <= 0 or top_k >= logits.shape[-1]:
+        return logits
+    kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def apply_top_p(logits, top_p: float):
+    """Nucleus filter: keep the smallest prefix of the descending-prob
+    distribution whose mass reaches ``top_p``; -inf the rest.
+
+    The highest-probability token is always kept (``cum - p < top_p``
+    is strict-before semantics), so the filter can never empty a row.
+    ``top_p`` is static; >= 1 is the identity (and compiles to nothing
+    — the sort over the full vocab only exists in nucleus graphs).
+    """
+    if top_p >= 1.0:
+        return logits
+    desc = -jnp.sort(-logits, axis=-1)  # descending
+    probs = jax.nn.softmax(desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p  # keep while mass BEFORE token < p
+    thresh = jnp.min(
+        jnp.where(keep, desc, jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(logits < thresh, -jnp.inf, logits)
+
+
+def sample_token(
+    logits,
+    key,
+    temperature,
+    top_k: int = 0,
+    top_p: float = 1.0,
+):
+    """One decode-step sample: (B, V) or (V,) f32-ish logits -> int32 ids.
+
+    ``temperature`` may be a traced scalar or a per-row (B,) vector;
+    rows with temperature <= 0 take the argmax (exact greedy parity
+    inside the same compiled graph). ``top_k``/``top_p`` are static.
+    Returns ids with the logits' leading shape.
+    """
+    logits = logits.astype(jnp.float32)
+    temp = jnp.asarray(temperature, jnp.float32)
+    tcol = temp[..., None] if temp.ndim else temp
+    scaled = logits / jnp.maximum(tcol, 1e-6)
+    scaled = apply_top_k(scaled, top_k)
+    scaled = apply_top_p(scaled, top_p)
+    sampled = jax.random.categorical(key, scaled, axis=-1)
+    greedy = jnp.argmax(logits, axis=-1)
+    return jnp.where(temp > 0, sampled, greedy).astype(jnp.int32)
+
+
+def normalize(params: Optional[SamplingParams]) -> SamplingParams:
+    """None -> greedy params; otherwise validated as-is."""
+    if params is None:
+        return SamplingParams()
+    return params.validate()

@@ -1,14 +1,16 @@
 """Minimal HTTP serving endpoint (stdlib-only) over continuous batching.
 
 POST /transcribe with a WAV (or any decodable) body, optional
-``?language=`` and ``?max_new=`` query params -> JSON
+``?language=``, ``?max_new=`` and ``?temperature=`` query params -> JSON
 {"language", "text"}. GET /healthz for liveness.
 
 POST /v1/audio/transcriptions is an OpenAI-compatible route:
 multipart/form-data with a ``file`` field (plus optional ``language``,
-``response_format`` = ``json`` (default) | ``text`` | ``verbose_json``)
--> ``{"text": ...}`` / plain text / ``{"task", "language", "text"}``,
-so existing Whisper-API clients can point at this server unchanged.
+``temperature`` (0 = greedy, the default; > 0 samples on device —
+runtime/sampling.py), ``response_format`` = ``json`` (default) |
+``text`` | ``verbose_json``) -> ``{"text": ...}`` / plain text /
+``{"task", "language", "text"}``, so existing Whisper-API clients can
+point at this server unchanged.
 
 Scheduling is continuous batching (runtime/serving.py): requests are
 admitted into decode slots at segment boundaries and returned the moment
@@ -105,12 +107,15 @@ def make_handler(worker: BatchingWorker):
             else:
                 self._json(404, {"error": "not found"})
 
-        def _run(self, body, language, max_new=None):
+        def _run(self, body, language, max_new=None, temperature=0.0):
             with tempfile.NamedTemporaryFile(suffix=".wav") as f:
                 f.write(body)
                 f.flush()
                 samples = load_audio(f.name, 16000)
-            req = Request(samples, language, max_new_tokens=max_new)
+            req = Request(
+                samples, language, max_new_tokens=max_new,
+                temperature=temperature,
+            )
             worker.submit(req)
             try:
                 return req.wait()
@@ -125,11 +130,13 @@ def make_handler(worker: BatchingWorker):
             qs = parse_qs(parsed.query)
             language = qs.get("language", [None])[0]
             max_new = qs.get("max_new", [None])[0]
+            temperature = qs.get("temperature", ["0"])[0]
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             try:
                 result = self._run(
-                    body, language, int(max_new) if max_new else None
+                    body, language, int(max_new) if max_new else None,
+                    temperature=float(temperature),
                 )
                 self._json(200, {
                     "language": result.language,
@@ -167,7 +174,13 @@ def make_handler(worker: BatchingWorker):
                 fmt = fields.get("response_format", b"json")
                 if isinstance(fmt, bytes):
                     fmt = fmt.decode()
-                result = self._run(fields["file"], language or None)
+                temperature = fields.get("temperature", b"0")
+                if isinstance(temperature, bytes):
+                    temperature = temperature.decode()
+                result = self._run(
+                    fields["file"], language or None,
+                    temperature=float(temperature or 0),
+                )
                 if fmt == "text":
                     data = (result.text + "\n").encode()
                     self.send_response(200)

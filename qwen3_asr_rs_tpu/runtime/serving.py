@@ -39,6 +39,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import os
 import queue
 import threading
 import time
@@ -54,6 +55,7 @@ from ..models.text_decoder import KVCache
 from ..tokenizer import ENDOFTEXT_TOKEN_ID, IM_END_TOKEN_ID
 from .engine import AsrEngine, TranscribeResult
 from .prompt import AUDIO_OFFSET, build_prompt, parse_asr_output
+from .sampling import sample_token
 
 logger = logging.getLogger(__name__)
 
@@ -91,13 +93,27 @@ def _write_slot(slab: KVCache, tmp: KVCache, slot) -> KVCache:
 
 
 class Request:
-    """A queued transcription request (thread-safe completion handle)."""
+    """A queued transcription request (thread-safe completion handle).
+
+    ``temperature`` > 0 switches this request's decode from greedy
+    argmax to temperature sampling (runtime/sampling.py) — per SLOT:
+    greedy and sampled requests share the same decode segments, each row
+    taking its own path inside one compiled graph. 0 (default) is exact
+    greedy. (top-k/top-p are offline-engine options: they are static
+    compile-time filters, not per-row state.)
+    """
 
     def __init__(self, samples: np.ndarray, language: Optional[str] = None,
-                 max_new_tokens: Optional[int] = None):
+                 max_new_tokens: Optional[int] = None,
+                 temperature: float = 0.0):
         self.samples = np.asarray(samples, np.float32).reshape(-1)
         self.language = language
         self.max_new_tokens = max_new_tokens
+        if temperature < 0:
+            raise ValueError(
+                f"temperature must be >= 0, got {temperature}"
+            )
+        self.temperature = float(temperature)
         self.event = threading.Event()
         self.result: Optional[TranscribeResult] = None
         self.error: Optional[Exception] = None
@@ -324,6 +340,16 @@ class ContinuousBatcher:
         self.d_tok = jnp.zeros(n_slots, jnp.int32)
         self.d_pos = jnp.zeros(n_slots, jnp.int32)
         self.d_done = jnp.ones(n_slots, bool)
+        # per-slot sampling temperature (0 = greedy row) + the pool's
+        # PRNG key chain: the sampling segment graph splits the key once
+        # per step and returns the new chain head. Admission tok0 keys
+        # derive from the base key + a host counter.
+        self.d_temp = jnp.zeros(n_slots, jnp.float32)
+        self._base_key = jax.random.PRNGKey(
+            int(os.environ.get("ASR_SAMPLING_SEED", "0"))
+        )
+        self.d_key = self._base_key
+        self._admit_seq = 0
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -354,6 +380,7 @@ class ContinuousBatcher:
             self.d_tok = jax.device_put(self.d_tok, slot_s)
             self.d_pos = jax.device_put(self.d_pos, slot_s)
             self.d_done = jax.device_put(self.d_done, slot_s)
+            self.d_temp = jax.device_put(self.d_temp, slot_s)
             logger.info(
                 "serving slot pool sharded over mesh %s (%d slots)",
                 dict(self.mesh.shape), n_slots,
@@ -378,7 +405,7 @@ class ContinuousBatcher:
         self._inject_jit = {}
         self._chunk_jit = {}
         self._commit_jit = {}
-        self._segment = None
+        self._segment = {}
 
     def _group_chunks(self, bucket: int) -> int:
         """Chunks per encode group (whole windows only)."""
@@ -400,7 +427,7 @@ class ContinuousBatcher:
         cfg = engine.config
 
         def fn(enc_params, dec_params, wave, n_true, token_ids, true_len,
-               slab, slot):
+               slab, slot, temp, key):
             hidden = self._inject(
                 enc_params, dec_params, wave, n_true, token_ids
             )
@@ -414,7 +441,9 @@ class ContinuousBatcher:
                 dec_params, hidden, slots_ax, tmp, true_len
             )
             slab = _write_slot(slab, tmp, slot)
-            tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
+            # temp == 0 takes the argmax branch inside sample_token, so
+            # greedy admissions are tokenwise identical to before
+            tok0 = sample_token(logits, key, temp)[0]
             return tok0, slab
 
         self._prefill_jit[num_chunks] = jax.jit(fn, donate_argnums=(6,))
@@ -557,14 +586,15 @@ class ContinuousBatcher:
             engine = self.engine
             c = self.prefill_chunk_tokens
 
-            def fn(dec_params, hidden, start, tmp, true_in_chunk):
+            def fn(dec_params, hidden, start, tmp, true_in_chunk, temp,
+                   key):
                 chunk = jax.lax.dynamic_slice(
                     hidden, (0, start, 0), (1, c, hidden.shape[-1])
                 )
                 logits, tmp = engine.decoder.prefill_chunk(
                     dec_params, chunk, start, tmp, true_in_chunk,
                 )
-                tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
+                tok0 = sample_token(logits, key, temp)[0]
                 return tok0, tmp
 
             self._chunk_jit["fn"] = jax.jit(fn, donate_argnums=(3,))
@@ -581,18 +611,27 @@ class ContinuousBatcher:
             self._commit_jit["fn"] = jax.jit(fn, donate_argnums=(1,))
         return self._commit_jit["fn"]
 
-    def _segment_graph(self):
-        """K decode steps over all slots with per-slot positions."""
-        if self._segment is not None:
-            return self._segment
+    def _segment_graph(self, sample: bool):
+        """K decode steps over all slots with per-slot positions.
+
+        Two variants with one signature: the greedy graph (``sample``
+        False — compiled when every live slot decodes greedily) takes
+        argmax and passes ``temp``/``key`` through untouched, so
+        all-greedy serving pays zero sampling overhead; the sampling
+        graph draws one fresh key per step and lets each ROW pick
+        argmax (temperature 0) or a sample (temperature > 0) inside the
+        same program, so mixed batches share segments.
+        """
+        if sample in self._segment:
+            return self._segment[sample]
         engine = self.engine
         k_steps = self.segment_steps
 
-        def fn(dec_params, cache, tok, pos, done):
+        def fn(dec_params, cache, tok, pos, done, temp, key):
             out = jnp.full((self.n_slots, k_steps), PAD_TOKEN, jnp.int32)
 
             def body(i, state):
-                cache, tok, pos, done, out = state
+                cache, tok, pos, done, out, key = state
                 is_eos = jnp.logical_or(
                     tok == ENDOFTEXT_TOKEN_ID, tok == IM_END_TOKEN_ID
                 )
@@ -601,18 +640,22 @@ class ContinuousBatcher:
                 logits, cache = engine.decoder.decode_step(
                     dec_params, tok, pos, cache
                 )
-                ntok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                if sample:
+                    key, sub = jax.random.split(key)
+                    ntok = sample_token(logits, sub, temp)
+                else:
+                    ntok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 tok = jnp.where(done, tok, ntok)
                 pos = jnp.where(done, pos, pos + 1)
-                return cache, tok, pos, done, out
+                return cache, tok, pos, done, out, key
 
-            cache, tok, pos, done, out = jax.lax.fori_loop(
-                0, k_steps, body, (cache, tok, pos, done, out)
+            cache, tok, pos, done, out, key = jax.lax.fori_loop(
+                0, k_steps, body, (cache, tok, pos, done, out, key)
             )
-            return tok, pos, done, out, cache
+            return tok, pos, done, out, cache, key
 
-        self._segment = jax.jit(fn, donate_argnums=(1,))
-        return self._segment
+        self._segment[sample] = jax.jit(fn, donate_argnums=(1,))
+        return self._segment[sample]
 
     # -------------------------------------------------------------- #
     # host scheduling
@@ -660,6 +703,11 @@ class ContinuousBatcher:
                 slot_idx, req, bucket, wave, n_true, ids, prompt_len
             )
 
+    def _next_admit_key(self):
+        """Fresh PRNG key for one admission's first-token sample."""
+        self._admit_seq += 1
+        return jax.random.fold_in(self._base_key, self._admit_seq)
+
     def _admit_monolithic(self, slot_idx, req, bucket, wave, n_true, ids,
                           prompt_len) -> None:
         engine = self.engine
@@ -673,6 +721,8 @@ class ContinuousBatcher:
             jnp.int32(prompt_len),
             self.cache,
             jnp.int32(slot_idx),
+            jnp.float32(req.temperature),
+            self._next_admit_key(),
         )
         slot = self.slots[slot_idx]
         slot.request = req
@@ -680,7 +730,10 @@ class ContinuousBatcher:
         slot.max_new = min(
             req.max_new_tokens or self.max_new, self.max_new
         )
-        self._set_slot_state(slot_idx, tok0, prompt_len, False)
+        self._set_slot_state(
+            slot_idx, tok0, prompt_len, False,
+            temperature=req.temperature,
+        )
         logger.debug(
             "admitted request into slot %d (bucket %d chunks, prompt %d)",
             slot_idx, bucket, prompt_len,
@@ -778,6 +831,8 @@ class ContinuousBatcher:
     def _advance_prefill(self, slot_idx: int) -> None:
         """Run ONE bounded prefill chunk; commit to the slab when done."""
         job = self.prefilling[slot_idx]
+        req = self.slots[slot_idx].request
+        temperature = req.temperature if req is not None else 0.0
         c = self.prefill_chunk_tokens
         true_in = min(c, job.prompt_len - job.cursor)
         tok0, job.tmp = self._chunk_fn()(
@@ -786,13 +841,18 @@ class ContinuousBatcher:
             jnp.int32(job.cursor),
             job.tmp,
             jnp.int32(true_in),
+            jnp.float32(temperature),
+            self._next_admit_key(),
         )
         job.cursor += c
         if job.cursor >= job.prompt_len:
             self.cache = self._commit_fn()(
                 job.tmp, self.cache, jnp.int32(slot_idx),
             )
-            self._set_slot_state(slot_idx, tok0, job.prompt_len, False)
+            self._set_slot_state(
+                slot_idx, tok0, job.prompt_len, False,
+                temperature=temperature,
+            )
             del self.prefilling[slot_idx]
             logger.debug(
                 "slot %d prefill committed (%d prompt tokens)",
@@ -801,27 +861,31 @@ class ContinuousBatcher:
 
     def _slot_update_fn(self):
         if self._setstate_jit is None:
-            def fn(d_tok, d_pos, d_done, i, t, p, flag):
+            def fn(d_tok, d_pos, d_done, d_temp, i, t, p, flag, temp):
                 return (
                     d_tok.at[i].set(t),
                     d_pos.at[i].set(p),
                     d_done.at[i].set(flag),
+                    d_temp.at[i].set(temp),
                 )
 
             self._setstate_jit = jax.jit(fn)
         return self._setstate_jit
 
-    def _set_slot_state(self, i, tok0, pos0, done) -> None:
+    def _set_slot_state(self, i, tok0, pos0, done,
+                        temperature: float = 0.0) -> None:
         """Scatter one slot's decode state into the device arrays.
 
         ``tok0`` may be a device scalar (no host sync — the host tok
         mirror is not used for scheduling). Bumps the slot version so an
         already-inflight segment cannot clobber this slot at drain.
         """
-        self.d_tok, self.d_pos, self.d_done = self._slot_update_fn()(
-            self.d_tok, self.d_pos, self.d_done,
+        (self.d_tok, self.d_pos, self.d_done,
+         self.d_temp) = self._slot_update_fn()(
+            self.d_tok, self.d_pos, self.d_done, self.d_temp,
             jnp.int32(i), jnp.asarray(tok0, jnp.int32),
             jnp.int32(pos0), jnp.asarray(done),
+            jnp.float32(temperature),
         )
         self.tok[i] = 0
         self.pos[i] = pos0
@@ -872,13 +936,22 @@ class ContinuousBatcher:
 
     def _dispatch_segment(self) -> None:
         """Launch one decode segment from the device state (async)."""
-        fn = self._segment_graph()
-        tok, pos, done, out, self.cache = fn(
+        # the sampling graph only when some live slot asked for it —
+        # the host temperature mirror is exact (set at admission under
+        # the scheduler thread, never device-written)
+        sample = any(
+            s.active and s.request is not None
+            and s.request.temperature > 0 for s in self.slots
+        )
+        fn = self._segment_graph(sample)
+        tok, pos, done, out, self.cache, self.d_key = fn(
             self._segment_params(),
             self.cache,
             self.d_tok,
             self.d_pos,
             self.d_done,
+            self.d_temp,
+            self.d_key,
         )
         self.d_tok, self.d_pos, self.d_done = tok, pos, done
         self._inflight = (out, tok, pos, done, self._slot_version.copy())
@@ -1022,9 +1095,15 @@ class ContinuousBatcher:
                 self.step(block_timeout=0.001)
             logger.info("serving warmup: bucket %d chunks compiled", c)
         small = np.zeros(int(min(buckets) * cf * 160), np.float32)
+        # one sampled request in the burst compiles the SAMPLING segment
+        # variant too, so the first live temperature>0 request doesn't
+        # stall the pool on a cold compile
         burst = [
-            Request(samples=small, max_new_tokens=max_new)
-            for _ in range(self.n_slots)
+            Request(
+                samples=small, max_new_tokens=max_new,
+                temperature=0.7 if i == 0 else 0.0,
+            )
+            for i in range(self.n_slots)
         ]
         for r in burst:
             self.submit(r)

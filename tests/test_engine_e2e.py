@@ -176,7 +176,7 @@ def test_engine_batch_matches_single(rng):
     # padding results dropped
     batch3 = eng.transcribe_batch([a, b, a])
     assert len(batch3) == 3
-    assert (4, 4) in eng._graphs  # compiled the padded batch-4 graph
+    assert (4, 4, None) in eng._graphs  # padded batch-4 greedy graph
     assert [r.raw_output for r in batch3] == [
         singles[0].raw_output, singles[1].raw_output, singles[0].raw_output,
     ]

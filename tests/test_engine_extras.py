@@ -13,7 +13,7 @@ pytestmark = pytest.mark.slow  # heavy parity/e2e: quick tier skips
 def test_warmup_precompiles_buckets(rng):
     eng, *_ = make_engine(max_new=2)
     eng.warmup(batch_sizes=(1,), buckets=(2,))
-    assert (2, 1) in eng._graphs
+    assert (2, 1, None) in eng._graphs
     # a subsequent transcribe in that bucket reuses the compiled graph
     n_before = len(eng._graphs)
     eng.transcribe_samples(
