@@ -167,7 +167,13 @@ def main(argv=None) -> int:
     from .runtime.sampling import SamplingParams
 
     sampling = None
-    if sample_opts["temperature"] > 0:
+    if sample_opts["temperature"] != 0 or any(
+        sample_opts[k] != d
+        for k, d in (("top-k", 0), ("top-p", 1.0), ("seed", 0))
+    ):
+        # constructed (and validated) whenever ANY sampling flag was
+        # given: a negative --temperature or a --top-k without
+        # --temperature must error/warn, not silently decode greedily
         try:
             sampling = SamplingParams(
                 temperature=sample_opts["temperature"],
@@ -178,6 +184,12 @@ def main(argv=None) -> int:
         except ValueError as e:
             print(f"Error: {e}", file=sys.stderr)
             return 1
+        if sampling.greedy:
+            logger.warning(
+                "--top-k/--top-p/--seed have no effect without "
+                "--temperature > 0; decoding greedily"
+            )
+            sampling = None
 
     try:
         if len(audio_files) == 1:
@@ -203,9 +215,10 @@ def main(argv=None) -> int:
             print(f"Text: {result.text}")
         finish()
         return 0
-    except AsrError as e:
-        # framework errors (undecodable audio, bad checkpoint, ...) get a
-        # clean one-line message instead of a traceback
+    except (AsrError, ValueError) as e:
+        # framework errors (undecodable audio, bad checkpoint,
+        # sampling on long-form audio, ...) get a clean one-line
+        # message instead of a traceback
         print(f"Error: {e}", file=sys.stderr)
         return 1
 

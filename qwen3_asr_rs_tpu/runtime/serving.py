@@ -442,7 +442,12 @@ class ContinuousBatcher:
             )
             slab = _write_slot(slab, tmp, slot)
             # temp == 0 takes the argmax branch inside sample_token, so
-            # greedy admissions are tokenwise identical to before
+            # greedy admissions are tokenwise identical to before.
+            # Deliberately UNGATED (unlike _segment_graph's static
+            # sample flag): gating would double the per-bucket prefill
+            # graph compiles, to save one (1, V) Gumbel draw per
+            # ADMISSION (~us) — decode segments run per step, admission
+            # runs once per request.
             tok0 = sample_token(logits, key, temp)[0]
             return tok0, slab
 
@@ -1109,9 +1114,20 @@ class ContinuousBatcher:
             self.submit(r)
         while not all(r.event.is_set() for r in burst):
             self.step(block_timeout=0.001)
+        # a SOLO sampled request after the burst: at occupancy 1 the
+        # "auto" precision picks the other param set than the burst's
+        # high-occupancy segments did, so the sampling segment graph
+        # compiles for BOTH precision variants (the burst's sampled
+        # member only covered the high-occupancy one)
+        solo = Request(
+            samples=small, max_new_tokens=max_new, temperature=0.7
+        )
+        self.submit(solo)
+        while not solo.event.is_set():
+            self.step(block_timeout=0.001)
         logger.info(
             "serving warmup: %d-slot burst compiled (all precision "
-            "variants)", self.n_slots,
+            "variants, greedy + sampling segment graphs)", self.n_slots,
         )
 
 

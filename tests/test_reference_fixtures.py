@@ -95,3 +95,86 @@ def test_cli_forced_language_on_fixture(model_dir, capsys, monkeypatch,
     data = json.loads(metrics.read_text())
     assert "device_dispatch" in data
     assert data["device_dispatch"]["count"] >= 1
+
+
+def test_cli_sampling_flags(model_dir, capsys, monkeypatch):
+    """--temperature runs the stochastic decode path with the same
+    stdout contract; bad/ineffective sampling flags are diagnosed."""
+    monkeypatch.setenv("ASR_MAX_NEW_TOKENS", "3")
+    monkeypatch.setenv("ASR_DTYPE", "float32")
+    from qwen3_asr_rs_tpu.cli import main
+
+    rc = main([str(model_dir), str(FIXTURES[0]),
+               "--temperature", "0.9", "--seed", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().split("\n")
+    assert out[0].startswith("Language:")
+    assert out[1].startswith("Text:")
+
+    # negative temperature: clean one-line error, not silent greedy
+    rc = main([str(model_dir), str(FIXTURES[0]), "--temperature", "-1"])
+    assert rc == 1
+    assert "temperature must be >= 0" in capsys.readouterr().err
+
+    # top-p out of range errors even without temperature
+    rc = main([str(model_dir), str(FIXTURES[0]), "--top-p", "0"])
+    assert rc == 1
+    assert "top_p must be in" in capsys.readouterr().err
+
+    # filters without --temperature: warn, decode greedily
+    import logging
+
+    caplog_records = []
+
+    class _H(logging.Handler):
+        def emit(self, record):
+            caplog_records.append(record.getMessage())
+
+    h = _H()
+    logging.getLogger("asr").addHandler(h)
+    try:
+        rc = main([str(model_dir), str(FIXTURES[0]), "--top-k", "5"])
+    finally:
+        logging.getLogger("asr").removeHandler(h)
+    assert rc == 0
+    assert any("no effect without" in m for m in caplog_records)
+
+
+def test_cli_longform_sampling_clean_error(model_dir, capsys, monkeypatch,
+                                           tmp_path):
+    """Sampling + long-form audio -> one-line Error, not a traceback."""
+    import wave as wave_mod
+
+    import numpy as np
+
+    monkeypatch.setenv("ASR_MAX_NEW_TOKENS", "3")
+    monkeypatch.setenv("ASR_DTYPE", "float32")
+    # shrink the engine's buckets so a 40 s clip is long-form (the
+    # default largest bucket is 360 s — a real long-form clip would be
+    # a minutes-long test)
+    import qwen3_asr_rs_tpu.runtime.engine as engine_mod
+
+    orig_init = engine_mod.AsrEngine.__init__
+
+    def small_buckets_init(self, *a, **kw):
+        kw["chunk_buckets"] = (2, 4, 8)
+        orig_init(self, *a, **kw)
+
+    monkeypatch.setattr(engine_mod.AsrEngine, "__init__",
+                        small_buckets_init)
+    rng = np.random.default_rng(0)
+    long_wav = tmp_path / "long.wav"
+    with wave_mod.open(str(long_wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(
+            (rng.standard_normal(16000 * 40) * 3000)
+            .astype(np.int16).tobytes()
+        )
+    from qwen3_asr_rs_tpu.cli import main
+
+    rc = main([str(model_dir), str(long_wav), "--temperature", "0.8"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "Error:" in err and "long-form" in err
