@@ -45,6 +45,9 @@ Options (extensions beyond the reference binary):
   --top-p P         With --temperature: nucleus sampling mass (1.0 =
                     disabled).
   --seed N          PRNG seed for --temperature (default 0).
+  --timestamps      After the Text: line, print one `[start - end] text`
+                    line per time-stamped segment (long-form audio gets
+                    one per stitched chunk, short audio a single span).
 
 The audio file will be automatically converted to mono 16kHz f32 for the
 model.
@@ -86,10 +89,13 @@ def main(argv=None) -> int:
     # like a language — gets a warning instead of a silent guess.
     language = None
     sample_opts = {"temperature": 0.0, "top-k": 0, "top-p": 1.0, "seed": 0}
+    timestamps = False
     rest = []
     it = iter(argv[1:])
     for arg in it:
-        if arg in ("--language", "-l"):
+        if arg == "--timestamps":
+            timestamps = True
+        elif arg in ("--language", "-l"):
             language = next(it, None)
             if language is None:
                 print("Error: --language needs a value", file=sys.stderr)
@@ -199,6 +205,9 @@ def main(argv=None) -> int:
             )
             print(f"Language: {result.language}")
             print(f"Text: {result.text}")
+            if timestamps:
+                for s in result.segments or []:
+                    print(f"[{s.start:.2f} - {s.end:.2f}] {s.text.strip()}")
             finish()
             return 0
 
@@ -209,10 +218,12 @@ def main(argv=None) -> int:
         results = engine.transcribe_batch(
             samples, [language] * len(samples), sampling=sampling
         )
-        for f, result in zip(audio_files, results):
+        for f, s, result in zip(audio_files, samples, results):
             print(f"File: {f}")
             print(f"Language: {result.language}")
             print(f"Text: {result.text}")
+            if timestamps and result.text.strip():
+                print(f"[0.00 - {len(s) / 16000:.2f}] {result.text.strip()}")
         finish()
         return 0
     except (AsrError, ValueError) as e:

@@ -64,6 +64,9 @@ class TranscribeResult:
     text: str
     language: str
     raw_output: str
+    # time-stamped spans of ``text`` (runtime/longform.Segment); filled
+    # by the file-level transcribe() API, None on raw sample paths
+    segments: Optional[list] = None
 
 
 class AsrEngine:
@@ -813,9 +816,14 @@ class AsrEngine:
             self.max_bucket_seconds,
         )
         if len(samples) <= int(max_seconds * 16000):
-            return self.transcribe_samples(
-                samples, language, sampling=sampling
+            from .longform import Segment
+
+            r = self.transcribe_samples(samples, language, sampling=sampling)
+            seg = (
+                [Segment(0, 0.0, len(samples) / 16000, r.text)]
+                if r.text.strip() else []
             )
+            return dataclasses.replace(r, segments=seg)
         if not sampling.greedy:
             raise ValueError(
                 "sampling is not supported on long-form audio: overlap "

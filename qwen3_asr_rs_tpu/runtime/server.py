@@ -9,8 +9,9 @@ multipart/form-data with a ``file`` field (plus optional ``language``,
 ``temperature`` (0 = greedy, the default; > 0 samples on device —
 runtime/sampling.py), ``response_format`` = ``json`` (default) |
 ``text`` | ``verbose_json``) -> ``{"text": ...}`` / plain text /
-``{"task", "language", "text"}``, so existing Whisper-API clients can
-point at this server unchanged.
+``{"task", "language", "duration", "text", "segments": [...]}`` with
+Whisper-shaped time-stamped segments, so existing Whisper-API clients
+can point at this server unchanged.
 
 Scheduling is continuous batching (runtime/serving.py): requests are
 admitted into decode slots at segment boundaries and returned the moment
@@ -108,6 +109,7 @@ def make_handler(worker: BatchingWorker):
                 self._json(404, {"error": "not found"})
 
         def _run(self, body, language, max_new=None, temperature=0.0):
+            """-> (result, audio_duration_seconds)."""
             with tempfile.NamedTemporaryFile(suffix=".wav") as f:
                 f.write(body)
                 f.flush()
@@ -118,7 +120,7 @@ def make_handler(worker: BatchingWorker):
             )
             worker.submit(req)
             try:
-                return req.wait()
+                return req.wait(), len(samples) / 16000.0
             except ValueError:
                 raise  # per-request validation (e.g. over-long prompt)
             except Exception as e:
@@ -134,7 +136,7 @@ def make_handler(worker: BatchingWorker):
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             try:
-                result = self._run(
+                result, _ = self._run(
                     body, language, int(max_new) if max_new else None,
                     temperature=float(temperature),
                 )
@@ -177,7 +179,7 @@ def make_handler(worker: BatchingWorker):
                 temperature = fields.get("temperature", b"0")
                 if isinstance(temperature, bytes):
                     temperature = temperature.decode()
-                result = self._run(
+                result, duration = self._run(
                     fields["file"], language or None,
                     temperature=float(temperature or 0),
                 )
@@ -189,10 +191,28 @@ def make_handler(worker: BatchingWorker):
                     self.end_headers()
                     self.wfile.write(data)
                 elif fmt == "verbose_json":
+                    # Whisper-shaped segments: serving requests fit one
+                    # bucket, so a single [0, duration] span unless the
+                    # engine attached stitched long-form segments
+                    segs = result.segments
+                    if segs is None:
+                        segs = []
+                        if result.text.strip():
+                            from .longform import Segment
+
+                            segs = [Segment(0, 0.0, duration, result.text)]
                     self._json(200, {
                         "task": "transcribe",
                         "language": result.language,
+                        "duration": round(duration, 3),
                         "text": result.text,
+                        "segments": [
+                            {"id": s.id, "seek": 0,
+                             "start": round(s.start, 3),
+                             "end": round(s.end, 3),
+                             "text": s.text}
+                            for s in segs
+                        ],
                     })
                 else:
                     self._json(200, {"text": result.text})

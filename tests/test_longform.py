@@ -134,3 +134,85 @@ def test_best_join_mid_tail_bigram_not_a_join():
     prev = "we said hello world early on and closed differently".split()
     nxt = "hello world is how the next clip starts".split()
     assert best_join(prev, nxt) == (0, 0)
+
+
+def test_stitch_spans_concat_matches_stitch():
+    """stitch() is stitch_spans() with provenance dropped — the piece
+    concatenation must equal the merged transcript for every join kind
+    (overlap cut, no-overlap append, CJK, empties)."""
+    from qwen3_asr_rs_tpu.runtime.longform import stitch_spans
+
+    cases = [
+        ["one two three four", "three four five six", "five six seven"],
+        ["a b c", "x y z"],  # no credible overlap -> append
+        ["今天天气很好我们出去", "我们出去散步吧"],
+        ["", "starts empty", "empty ends", ""],
+        ["solo"],
+        [],
+    ]
+    for segs in cases:
+        spans = stitch_spans(segs)
+        assert "".join(t for _, t in spans) == stitch(segs)
+        # provenance indices are monotonically non-decreasing and valid
+        idxs = [i for i, _ in spans]
+        assert idxs == sorted(idxs)
+        assert all(0 <= i < len(segs) for i in idxs)
+
+
+def test_stitch_spans_provenance():
+    from qwen3_asr_rs_tpu.runtime.longform import stitch_spans
+
+    spans = stitch_spans(
+        ["one two three four", "three four five six", "five six seven"]
+    )
+    # every input chunk contributes a piece, in order; at each junction
+    # the overlap text survives from the NEXT chunk (prev is cut there)
+    assert spans == [
+        (0, "one two "),
+        (1, "three four "),
+        (2, "five six seven"),
+    ]
+
+
+@pytest.mark.slow
+def test_longform_segments_and_batched_parity(rng, tmp_path):
+    """Long-form results carry time-stamped segments, and the batched
+    chunk decode (batch_chunks>1, the default) matches sequential."""
+    from test_engine_e2e import make_engine
+
+    from qwen3_asr_rs_tpu.runtime.longform import transcribe_long
+
+    eng, *_ = make_engine(max_new=2)  # max bucket 8s
+    samples = (rng.standard_normal(16000 * 20) * 0.1).astype("float32")
+
+    batched = transcribe_long(eng, samples, overlap_seconds=1.0)
+    sequential = transcribe_long(
+        eng, samples, overlap_seconds=1.0, batch_chunks=1
+    )
+    assert batched.text == sequential.text
+    assert batched.raw_output == sequential.raw_output
+
+    # segments cover [0, 20s] with monotone, in-range times whose text
+    # reconstructs the transcript
+    segs = batched.segments
+    assert segs is not None and len(segs) >= 1
+    for a, b in zip(segs, segs[1:]):
+        assert a.start <= b.start
+    for s in segs:
+        assert 0.0 <= s.start < s.end <= 20.0
+    assert "".join(s.text for s in segs) == batched.text
+
+
+@pytest.mark.slow
+def test_transcribe_short_path_attaches_segment(rng, tmp_path):
+    from test_audio_io import write_wav_pcm16
+    from test_engine_e2e import make_engine
+
+    eng, *_ = make_engine(max_new=2)
+    wav = tmp_path / "short.wav"
+    write_wav_pcm16(wav, rng.standard_normal(16000 * 2) * 0.1, 16000)
+    r = eng.transcribe(str(wav))
+    if r.text.strip():
+        (seg,) = r.segments
+        assert (seg.start, seg.end) == (0.0, 2.0)
+        assert seg.text == r.text

@@ -133,6 +133,14 @@ def test_openai_transcriptions_endpoint(server, tmp_path, rng):
         out = json.loads(r.read())
         assert out["task"] == "transcribe"
         assert "language" in out and "text" in out
+        # Whisper-shaped duration + time-stamped segments
+        assert abs(out["duration"] - 1.0) < 0.01
+        assert isinstance(out["segments"], list)
+        if out["text"].strip():
+            (seg,) = out["segments"]
+            assert seg["start"] == 0.0
+            assert seg["end"] == out["duration"]
+            assert seg["text"] == out["text"]
 
     with post({"response_format": "text"}) as r:
         assert r.headers["Content-Type"].startswith("text/plain")
