@@ -239,9 +239,26 @@ def transcribe_long(
         start += step
     chunks = [samples[s : s + seg] for s in starts]
 
-    bucket_chunks = max(1, int(np.ceil(max_seconds)))
+    # HBM clamp must reflect what actually runs on device: transcribe_batch
+    # rounds the batch UP to the next power of two (and a dp multiple) and
+    # compiles the next-LARGER chunk bucket, so clamping on
+    # ceil(segment_seconds) could admit a padded batch x bucket product 2x
+    # the budget (e.g. segment_seconds=121 -> batch 7 -> padded 8 on a
+    # 240-chunk bucket). Clamp on the compiled bucket and round DOWN.
+    from ..features.mel import num_mel_frames
+
+    try:
+        bucket_chunks = engine._pick_bucket(num_mel_frames(seg))
+    except ValueError:  # segment fills the largest bucket exactly
+        bucket_chunks = engine.chunk_buckets[-1]
     batch = max(1, min(batch_chunks,
                        LONGFORM_BATCH_BUDGET_CHUNKS // bucket_chunks))
+    batch = 1 << (batch.bit_length() - 1)  # round DOWN to a power of two
+    dp = getattr(engine, "_dp_size", lambda: 1)()
+    if dp > 1:
+        # keep the padded device batch == batch (transcribe_batch pads up
+        # to a dp multiple; dp itself is the floor a mesh user chose)
+        batch = max(batch - batch % dp, dp)
     if batch > 1 and len(chunks) > 1:
         results = []
         for i in range(0, len(chunks), batch):
@@ -269,6 +286,13 @@ def transcribe_long(
         if text  # pieces are non-empty by construction; keep segments an
         # exact partition: "".join(s.text) == result.text
     ]
+    # Adjacent decode segments overlap by ~overlap_seconds; emitting the
+    # raw spans would give consecutive subtitle cues overlapping time
+    # ranges (breaks some SRT/VTT tooling). Clip each span's end to the
+    # next span's start so cues are non-overlapping; the text partition
+    # is untouched and accuracy stays at the overlap width.
+    for a, b in zip(segments, segments[1:]):
+        a.end = max(a.start, min(a.end, b.start))
     return TranscribeResult(
         text="".join(t for _, t in spans),
         language=langs[0] if langs else "unknown",

@@ -207,10 +207,23 @@ def make_handler(worker: BatchingWorker):
                         "duration": round(duration, 3),
                         "text": result.text,
                         "segments": [
+                            # the full Whisper verbose_json key set:
+                            # strict clients index tokens/avg_logprob/...,
+                            # so absent-but-documented is not enough.
+                            # Neutral placeholders where this engine has
+                            # no per-segment value (greedy decode exposes
+                            # no logprobs; tokens are not retained per
+                            # stitched span).
                             {"id": s.id, "seek": 0,
                              "start": round(s.start, 3),
                              "end": round(s.end, 3),
-                             "text": s.text}
+                             "text": s.text,
+                             "tokens": [],
+                             "temperature": 0.0,
+                             "avg_logprob": 0.0,
+                             "compression_ratio": 1.0,
+                             "no_speech_prob": 0.0,
+                             "words": getattr(s, "words", None) or []}
                             for s in segs
                         ],
                     })

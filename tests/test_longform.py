@@ -216,3 +216,61 @@ def test_transcribe_short_path_attaches_segment(rng, tmp_path):
         (seg,) = r.segments
         assert (seg.start, seg.end) == (0.0, 2.0)
         assert seg.text == r.text
+
+
+@pytest.mark.slow
+def test_longform_segments_non_overlapping(rng, monkeypatch):
+    """Adjacent segment spans must not overlap in time (SRT/VTT cues):
+    each span's end is clipped to the next span's start."""
+    from test_engine_e2e import make_engine
+
+    import qwen3_asr_rs_tpu.runtime.longform as lf
+
+    eng, *_ = make_engine(max_new=2)  # max bucket 8s
+    samples = (rng.standard_normal(16000 * 20) * 0.1).astype("float32")
+    # pin the stitch to one surviving piece per decode segment so the
+    # raw spans are guaranteed to overlap by overlap_seconds (random
+    # weights often collapse pieces, hiding the clip under test)
+    monkeypatch.setattr(
+        lf, "stitch_spans",
+        lambda texts: [(i, t or "x") for i, t in enumerate(texts)],
+    )
+    r = lf.transcribe_long(eng, samples, overlap_seconds=2.0)
+    segs = r.segments
+    assert len(segs) >= 2  # 20s over 8s buckets with overlap
+    for a, b in zip(segs, segs[1:]):
+        assert a.end <= b.start  # raw spans overlapped by ~2s
+        assert a.start <= a.end
+
+
+@pytest.mark.slow
+def test_longform_batch_clamp_uses_compiled_bucket(rng, monkeypatch):
+    """The HBM clamp must count the chunks of the bucket that actually
+    compiles (next-larger bucket, batch padded UP to a power of two) —
+    not ceil(segment_seconds). Regression: segment_seconds between
+    buckets used to admit a padded batch 2x over budget."""
+    from test_engine_e2e import make_engine
+
+    import qwen3_asr_rs_tpu.runtime.longform as lf
+
+    eng, *_ = make_engine(max_new=2)  # buckets (2, 4, 8)
+    monkeypatch.setattr(lf, "LONGFORM_BATCH_BUDGET_CHUNKS", 32)
+
+    seen = []
+    orig = eng.transcribe_batch
+
+    def spy(samples_list, languages=None, **kw):
+        seen.append(len(samples_list))
+        return orig(samples_list, languages, **kw)
+
+    monkeypatch.setattr(eng, "transcribe_batch", spy)
+    samples = (rng.standard_normal(16000 * 40) * 0.1).astype("float32")
+    # 5s segments land in the 8-chunk bucket: budget 32 allows at most
+    # 4 segments per dispatch (old clamp: ceil(5)=5 -> batch 6 -> padded
+    # to 8 on the 8-chunk bucket = 64 chunks, 2x over)
+    lf.transcribe_long(eng, samples, segment_seconds=5.0,
+                       overlap_seconds=1.0)
+    assert seen, "batched path not taken"
+    assert max(seen) <= 4
+    # and the device batch after padding stays a power of two <= 4
+    assert all(s <= 4 for s in seen)

@@ -141,6 +141,11 @@ def test_openai_transcriptions_endpoint(server, tmp_path, rng):
             assert seg["start"] == 0.0
             assert seg["end"] == out["duration"]
             assert seg["text"] == out["text"]
+            # full Whisper verbose_json segment key set: strict clients
+            # index these unconditionally
+            for key in ("tokens", "temperature", "avg_logprob",
+                        "compression_ratio", "no_speech_prob", "seek"):
+                assert key in seg, key
 
     with post({"response_format": "text"}) as r:
         assert r.headers["Content-Type"].startswith("text/plain")
