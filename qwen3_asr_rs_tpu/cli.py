@@ -48,6 +48,12 @@ Options (extensions beyond the reference binary):
   --timestamps      After the Text: line, print one `[start - end] text`
                     line per time-stamped segment (long-form audio gets
                     one per stitched chunk, short audio a single span).
+  --draft MODE      Speculative decoding: draft with a quantized copy of
+                    the checkpoint (int4 | int4g | int8 | lm8 | bf16)
+                    and verify with the full model — output is
+                    BIT-IDENTICAL to plain greedy decoding, only faster
+                    when the draft agrees often. Single-file greedy only.
+  --draft-k N       Draft tokens per verify call (default 4).
 
 The audio file will be automatically converted to mono 16kHz f32 for the
 model.
@@ -90,11 +96,28 @@ def main(argv=None) -> int:
     language = None
     sample_opts = {"temperature": 0.0, "top-k": 0, "top-p": 1.0, "seed": 0}
     timestamps = False
+    draft = None
+    draft_k = 4
     rest = []
     it = iter(argv[1:])
     for arg in it:
         if arg == "--timestamps":
             timestamps = True
+        elif arg == "--draft" or arg.startswith("--draft="):
+            draft = (
+                arg.split("=", 1)[1] if "=" in arg else next(it, None)
+            )
+            if draft is None:
+                print("Error: --draft needs a value", file=sys.stderr)
+                return 1
+        elif arg == "--draft-k" or arg.startswith("--draft-k="):
+            val = arg.split("=", 1)[1] if "=" in arg else next(it, None)
+            try:
+                draft_k = int(val)
+            except (TypeError, ValueError):
+                print(f"Error: bad --draft-k value {val!r}",
+                      file=sys.stderr)
+                return 1
         elif arg in ("--language", "-l"):
             language = next(it, None)
             if language is None:
@@ -158,8 +181,26 @@ def main(argv=None) -> int:
     max_new = int(os.environ.get("ASR_MAX_NEW_TOKENS", "4096"))
     quantize = os.environ.get("ASR_QUANT") or None
 
+    if draft is not None and draft not in (
+        "int4", "int4g", "int8", "lm8", "bf16"
+    ):
+        print(
+            f"Error: unknown --draft mode {draft!r} "
+            "(expected int4 | int4g | int8 | lm8 | bf16)",
+            file=sys.stderr,
+        )
+        return 1
+    if draft is not None and (
+        len(audio_files) > 1 or sample_opts["temperature"] != 0
+    ):
+        logging.getLogger("asr").warning(
+            "--draft applies to single-file greedy decoding only; "
+            "batched/sampled requests use the plain decode loop"
+        )
+
     engine = AsrEngine(
-        model_path, dtype=dtype, max_new_tokens=max_new, quantize=quantize
+        model_path, dtype=dtype, max_new_tokens=max_new, quantize=quantize,
+        speculative=draft, spec_k=draft_k,
     )
 
     def finish():
@@ -208,6 +249,14 @@ def main(argv=None) -> int:
             if timestamps:
                 for s in result.segments or []:
                     print(f"[{s.start:.2f} - {s.end:.2f}] {s.text.strip()}")
+            if engine.last_spec_stats:
+                st = engine.last_spec_stats
+                logger.info(
+                    "speculative decode: %d tokens in %d iterations "
+                    "(mean accepted drafts %.2f of %d)",
+                    st["tokens"], st["iterations"],
+                    st["mean_accepted"], draft_k,
+                )
             finish()
             return 0
 
@@ -218,12 +267,26 @@ def main(argv=None) -> int:
         results = engine.transcribe_batch(
             samples, [language] * len(samples), sampling=sampling
         )
+        from .runtime.longform import Segment
+
         for f, s, result in zip(audio_files, samples, results):
             print(f"File: {f}")
             print(f"Language: {result.language}")
             print(f"Text: {result.text}")
-            if timestamps and result.text.strip():
-                print(f"[0.00 - {len(s) / 16000:.2f}] {result.text.strip()}")
+            if timestamps:
+                # same Segment construction as engine.transcribe: one
+                # whole-file span when the transcript is non-empty (the
+                # batch path has no long-form stitching, so there is
+                # exactly one span per file)
+                segs = (
+                    [Segment(0, 0.0, len(s) / 16000, result.text)]
+                    if result.text.strip() else []
+                )
+                for seg in segs:
+                    print(
+                        f"[{seg.start:.2f} - {seg.end:.2f}] "
+                        f"{seg.text.strip()}"
+                    )
         finish()
         return 0
     except (AsrError, ValueError) as e:

@@ -484,6 +484,50 @@ class TextDecoder:
             KVCache(k=k, v=v, k_scale=ks, v_scale=vs),
         )
 
+    def score_chunk(
+        self,
+        params: PyTree,
+        token_ids,  # (B, P) int32 — a block of already-chosen tokens
+        start,      # traced scalar int32: absolute position of block[:, 0]
+        cache: KVCache,
+    ):
+        """Greedy-score a token block in ONE call: argmax at EVERY position.
+
+        The verification step of speculative decoding: feed the block
+        [last_accepted, d_1, .., d_k] at positions [start, start+P); the
+        returned tokens t_i are the model's greedy continuation after
+        each prefix — t_i == argmax P(. | history, block[:, :i+1]) — and
+        the block's K/V land in slab slots [start, start+P) exactly as a
+        sequential decode would have written them (same _chunk_layer
+        masks as prefill_chunk, so numerics match decode_step token for
+        token). Rejected-draft slots are overwritten by the next
+        iteration's block before they are ever attendable.
+
+        Returns (tokens (B, P) int32, cache).
+        """
+        b, p_len = token_ids.shape
+        hidden = self.embed(params, token_ids)
+        positions = start + jnp.arange(p_len)
+        cos, sin = self.rotary.lookup(positions)
+
+        def body(h, xs):
+            layer, k_c, v_c, ks_c, vs_c = xs
+            h, kv = self._chunk_layer(
+                layer, h, cos, sin, (k_c, v_c, ks_c, vs_c), start
+            )
+            return h, kv
+
+        hidden, (k, v, ks, vs) = jax.lax.scan(
+            body, hidden,
+            (params["layers"], cache.k, cache.v,
+             cache.k_scale, cache.v_scale),
+        )
+        logits = self.logits(params, hidden)  # (B, P, V) f32
+        return (
+            jnp.argmax(logits, axis=-1).astype(jnp.int32),
+            KVCache(k=k, v=v, k_scale=ks, v_scale=vs),
+        )
+
     def _chunk_layer(self, layer, x, cos, sin, kv, start):
         """One layer of chunked prefill: write-at-start + history attention."""
         cfg = self.cfg

@@ -85,7 +85,21 @@ class AsrEngine:
         kv_dtype: Optional[str] = None,
         unroll_decode: bool = False,
         mesh=None,
+        speculative: Optional[str] = None,
+        spec_k: int = 4,
     ):
+        """``speculative``: enable draft-and-verify speculative decoding
+        for single-stream greedy transcription. The value names the
+        DRAFT precision ('int4' | 'int4g' | 'int8' | 'lm8' | 'bf16'),
+        built by quantizing a second copy of this checkpoint's decoder
+        weights; the loaded model (at ``quantize``'s precision, default
+        bf16) verifies all ``spec_k`` draft tokens in ONE chunk-scored
+        call per iteration, so the output is BIT-IDENTICAL to plain
+        greedy decoding — only the speed depends on how often the draft
+        agrees. 'bf16' drafts with the target weights themselves
+        (acceptance 1.0; a machinery-overhead measurement mode). See
+        _transcribe_graph's spec path and models/text_decoder.score_chunk.
+        """
         from ..utils.compile_cache import enable_persistent_compile_cache
 
         enable_persistent_compile_cache()
@@ -97,8 +111,10 @@ class AsrEngine:
         self.max_new_tokens = max_new_tokens
         self.chunk_buckets = tuple(sorted(chunk_buckets))
 
-        stay_host = mesh is not None or quantize in (
-            "int8", "int4", "int4g"
+        stay_host = (
+            mesh is not None
+            or quantize in ("int8", "int4", "int4g")
+            or speculative not in (None, "bf16")
         )
         if params is None:
             logger.info("Loading weights from %s", model_dir)
@@ -136,8 +152,29 @@ class AsrEngine:
                 _qdev = contextlib.nullcontext()
         else:
             _qdev = contextlib.nullcontext()
+        # Speculative decoding: build the DRAFT weights from the base
+        # (pre-quantization) checkpoint before _quantize_params rebinds
+        # self.dec_params. The draft shares the embed table (quantization
+        # never touches it), so its HBM cost is just the quantized
+        # layers + lm_head (~0.3 GB at 0.6B int4).
+        self.spec_k = int(spec_k)
+        self.draft_params = None
+        if speculative is not None:
+            if mesh is not None:
+                raise ValueError(
+                    "speculative decoding runs the single-stream greedy "
+                    "path; it is not supported under a device mesh"
+                )
+            if self.spec_k < 1:
+                raise ValueError(f"spec_k must be >= 1, got {spec_k}")
+            base_dec = self.dec_params
+
         with _qdev:
             self._quantize_params(quantize, mesh_tp)
+            if speculative is not None:
+                self.draft_params = self._build_draft_params(
+                    base_dec, speculative
+                )
 
         if stay_host and mesh is None:
             # placement deferred past quantization: ship the quantized
@@ -150,6 +187,10 @@ class AsrEngine:
             dev = jax.devices()[0]
             self.enc_params = jax.device_put(self.enc_params, dev)
             self.dec_params = jax.device_put(self.dec_params, dev)
+            if self.draft_params is not None:
+                # shared leaves (embed, possibly lm_head) were already
+                # moved above; device_put is a no-op for those
+                self.draft_params = jax.device_put(self.draft_params, dev)
 
         # int8 KV slab (opt-in): HALF the per-step slab HBM stream and
         # double the slot capacity; per-(layer,example,head,slot)
@@ -236,6 +277,35 @@ class AsrEngine:
             self.decoder.prefer_xla = True
             self.decoder_unrolled.prefer_xla = True
         self._graphs = {}
+        # filled after each speculative dispatch: iterations, tokens,
+        # mean accepted drafts per iteration (bench/diagnostics)
+        self.last_spec_stats = None
+
+    def _build_draft_params(self, base_dec, speculative):
+        """Draft weights for speculative decoding (see __init__ docs)."""
+        if speculative == "bf16":
+            return base_dec  # self-draft: overhead-measurement mode
+        from ..weights.quantize import (
+            quantize_decoder_params,
+            quantize_lm_head_only,
+        )
+
+        if speculative == "int4g":
+            gsize = int(os.environ.get("ASR_INT4_GROUP", "128"))
+            return quantize_decoder_params(
+                base_dec, bits=4, merge=True, group_size=gsize
+            )
+        if speculative in ("int8", "int4"):
+            return quantize_decoder_params(
+                base_dec, bits=4 if speculative == "int4" else 8,
+                merge=True,
+            )
+        if speculative == "lm8":
+            return quantize_lm_head_only(base_dec)
+        raise ValueError(
+            f"unknown speculative draft mode {speculative!r} "
+            "(expected int4 | int4g | int8 | lm8 | bf16)"
+        )
 
     def _quantize_params(self, quantize, mesh_tp):
         """Apply the requested weight-quantization mode in place."""
@@ -402,9 +472,25 @@ class AsrEngine:
                     functools.partial(
                         self._transcribe_graph, num_chunks,
                         sample=sample, top_k=top_k, top_p=top_p,
+                        spec=self._spec_active(batch, sample),
                     )
                 )
         return self._graphs[key]
+
+    def _spec_active(self, batch: int, sample: bool) -> bool:
+        """Speculative decode applies to single-stream greedy graphs.
+
+        Batched decode amortizes the weight stream across examples (the
+        thing spec decoding exists to beat) and per-example acceptance
+        counts would desynchronize the shared-slot layout, so batch > 1
+        keeps the plain loop.
+        """
+        return (
+            self.draft_params is not None
+            and batch == 1
+            and not sample
+            and self.mesh is None
+        )
 
     def _transcribe_graph(
         self,
@@ -420,6 +506,7 @@ class AsrEngine:
         #                 never extend the decode while_loop
         rng_key=None,    # (2,) uint32 PRNG key (sampling graphs only)
         temperature=None,  # traced f32 scalar (sampling graphs only)
+        draft_params=None,  # draft decoder pytree (spec graphs only)
         force_aligned: bool = False,  # static: right-aligned ids even
         #                 at (local) B == 1 — shard_map shards a global
         #                 aligned batch into possibly-single-row locals
@@ -429,6 +516,8 @@ class AsrEngine:
         dp_axis: Optional[str] = None,  # static: under shard_map, fold
         #                 the shard index into the key (replicated keys
         #                 would correlate rows across shards)
+        spec: bool = False,  # static: speculative draft-and-verify decode
+        #                 (B == 1 greedy only; see _spec_active)
     ):
         cfg = self.config
         b = wave.shape[0]
@@ -507,7 +596,13 @@ class AsrEngine:
                 break
             seg *= 4
 
-        out_buf = jnp.zeros((b, max_new), jnp.int32)
+        # spec graphs can emit up to spec_k + 1 tokens per iteration, so
+        # the token buffer carries that much slack past the cap (the
+        # final window write must stay in bounds; n_gen is clamped to
+        # max_new, so only scratch lands in the slack)
+        k_spec = self.spec_k if spec else 0
+        out_buf = jnp.zeros((b, max_new + (k_spec + 1 if spec else 0)),
+                            jnp.int32)
         barange = jnp.arange(b)
 
         def make_body():
@@ -555,11 +650,41 @@ class AsrEngine:
 
         # slab lengths round up to the kernels' DMA alignment unit
         # (Mosaic slice-alignment proof): 8 for the k/v sublane slices,
-        # 128 for the int8-KV scale slabs' lane slices
+        # 128 for the int8-KV scale slabs' lane slices. Spec decode
+        # writes up to k+1 slots past the emitted count, so its slabs
+        # carry that much slack.
         _align = 128 if self.kv_quant else 8
 
         def slab_len(cap):
-            return -(-(p + cap + 1) // _align) * _align
+            return -(-(p + cap + 1 + (k_spec + 1 if spec else 0))
+                     // _align) * _align
+
+        def grow_cache(cache, new_len):
+            """Copy a slab cache into a larger zero slab."""
+            bigger = KVCache.zeros(
+                cfg.text, b, new_len, dtype=self.dtype,
+                quantized=self.kv_quant,
+            )
+            return KVCache(
+                k=jax.lax.dynamic_update_slice(
+                    bigger.k, cache.k, (0, 0, 0, 0, 0)
+                ),
+                v=jax.lax.dynamic_update_slice(
+                    bigger.v, cache.v, (0, 0, 0, 0, 0)
+                ),
+                k_scale=(
+                    None if not self.kv_quant
+                    else jax.lax.dynamic_update_slice(
+                        bigger.k_scale, cache.k_scale, (0, 0, 0, 0)
+                    )
+                ),
+                v_scale=(
+                    None if not self.kv_quant
+                    else jax.lax.dynamic_update_slice(
+                        bigger.v_scale, cache.v_scale, (0, 0, 0, 0)
+                    )
+                ),
+            )
 
         cache = KVCache.zeros(
             cfg.text, b, slab_len(seg_caps[0]), dtype=self.dtype,
@@ -581,38 +706,20 @@ class AsrEngine:
         else:
             tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
+        if spec:
+            return self._spec_decode_loop(
+                dec_params, draft_params, hidden, slots, cache, tok0,
+                true_len, live, out_buf, seg_caps, slab_len, grow_cache,
+                max_new,
+            )
+
         state = (
             cache, tok0, jnp.zeros((b,), jnp.int32),
             jnp.logical_not(live), out_buf, jnp.int32(0),
         )
         for cap in seg_caps:
-            cache = state[0]
-            if cache.max_len < slab_len(cap):  # grow into the next slab
-                bigger = KVCache.zeros(
-                    cfg.text, b, slab_len(cap), dtype=self.dtype,
-                    quantized=self.kv_quant,
-                )
-                bigger = KVCache(
-                    k=jax.lax.dynamic_update_slice(
-                        bigger.k, cache.k, (0, 0, 0, 0, 0)
-                    ),
-                    v=jax.lax.dynamic_update_slice(
-                        bigger.v, cache.v, (0, 0, 0, 0, 0)
-                    ),
-                    k_scale=(
-                        None if not self.kv_quant
-                        else jax.lax.dynamic_update_slice(
-                            bigger.k_scale, cache.k_scale, (0, 0, 0, 0)
-                        )
-                    ),
-                    v_scale=(
-                        None if not self.kv_quant
-                        else jax.lax.dynamic_update_slice(
-                            bigger.v_scale, cache.v_scale, (0, 0, 0, 0)
-                        )
-                    ),
-                )
-                state = (bigger,) + state[1:]
+            if state[0].max_len < slab_len(cap):  # grow into the next slab
+                state = (grow_cache(state[0], slab_len(cap)),) + state[1:]
 
             def cond(state, cap=cap):
                 _, _, _, done, _, step = state
@@ -622,6 +729,139 @@ class AsrEngine:
 
         _, _, n_gen, _, out_buf, _ = state
         return out_buf, n_gen
+
+    def _spec_decode_loop(
+        self,
+        dec_params,
+        draft_params,
+        hidden,     # (1, P, H) injected prompt embeddings
+        slots,      # (P,) position ids
+        cache,      # target KV cache, prompt already prefilled
+        tok0,       # (1,) first generated token (target prefill argmax)
+        true_len,   # (1,) int32
+        live,       # (1,) bool
+        out_buf,    # (1, max_new + k + 1) int32
+        seg_caps,
+        slab_len,
+        grow_cache,
+        max_new: int,
+    ):
+        """Draft-and-verify greedy decode (single stream, on device).
+
+        Each iteration: (1) the DRAFT weights (a quantized copy of this
+        checkpoint, engine `speculative=`) greedily decode k+1 tokens
+        with ordinary fused steps against their own KV slab — the +1
+        keeps the draft slab's slot pos+k valid when all k drafts are
+        accepted; (2) the TARGET weights score the block
+        [last_token, d_1..d_k] in ONE chunked call (score_chunk), whose
+        per-position argmaxes t_1..t_{k+1} are the model's true greedy
+        continuations; (3) the longest prefix with d_i == t_i is
+        accepted and t_1..t_{a+1} are emitted — every emitted token is a
+        target argmax given the previously emitted prefix, so the output
+        is BIT-IDENTICAL to plain greedy decoding (the reference's
+        semantics, src/inference.rs:160-200, EOS {151643,151645}, 4096
+        cap) at any draft quality. Rejected-draft KV slots are
+        overwritten by the next iteration's writes before any mask makes
+        them attendable (see score_chunk).
+
+        Why: single-stream decode is pinned at the weight-streaming
+        floor (bf16 0.6B ~1.7 ms/token reads all 1.2 GB of weights per
+        token); the draft streams a quarter of the bytes and the verify
+        amortizes one target read over up to k+1 tokens.
+
+        Returns (out_buf, n_gen, n_iterations) — one more element than
+        the plain loop; transcribe_batch uses the iteration count to
+        report the measured acceptance rate (last_spec_stats).
+        """
+        cfg = self.config
+        k_spec = self.spec_k
+        dec = self.decoder_unrolled
+        idx = jnp.arange(k_spec + 1)
+
+        # draft prefill: the draft shares the embed table (quantization
+        # never touches it), so the injected `hidden` is reused verbatim
+        dcache = KVCache.zeros(
+            cfg.text, 1, slab_len(seg_caps[0]), dtype=self.dtype,
+            quantized=self.kv_quant,
+        )
+        _, dcache = self.decoder.prefill(
+            draft_params, hidden, slots, dcache, true_len[0]
+        )
+
+        def body(state):
+            # `tok` is the PENDING candidate (same role as the plain
+            # loop's carry): the model's argmax successor of everything
+            # emitted so far, not yet EOS-checked or emitted, whose KV
+            # is not yet in either slab. Its slot is pos.
+            cache, dcache, tok, n_gen, done, out_buf, step, iters = state
+            pos = true_len[0] + step
+
+            def dbody(carry, i):
+                dtok, dc = carry
+                ntok, dc = dec.decode_step_token(
+                    draft_params, dtok, pos + i, dc
+                )
+                return (ntok, dc), ntok
+
+            (_, dcache), dtoks = jax.lax.scan(
+                dbody, (tok, dcache), jnp.arange(k_spec + 1)
+            )
+            drafts = dtoks[:k_spec, 0]  # (k,) d_1..d_k
+
+            block = jnp.concatenate([tok, drafts])[None, :]  # (1, k+1)
+            t, cache = dec.score_chunk(dec_params, block, pos, cache)
+            e = t[0]  # (k+1,) target greedy successors t_1..t_{k+1}
+
+            match = (drafts == e[:k_spec]).astype(jnp.int32)
+            acc = jnp.sum(jnp.cumprod(match))  # accepted drafts, 0..k
+            # emission candidates IN SEQUENCE ORDER: the pending token,
+            # then the accepted drafts (== their target argmaxes):
+            # v = [tok, t_1..t_k], of which v[0..acc] are valid
+            v = jnp.concatenate([tok, e[:k_spec]])  # (k+1,)
+            cand = idx <= acc
+            is_eos = jnp.logical_or(
+                v == ENDOFTEXT_TOKEN_ID, v == IM_END_TOKEN_ID
+            )
+            # sequential semantics: emit candidates up to (excluding)
+            # the first EOS, then stop (reference src/inference.rs:152-165)
+            no_eos_incl = jnp.cumprod(
+                jnp.logical_not(is_eos).astype(jnp.int32)
+            ).astype(bool)
+            n_emit_raw = jnp.sum((cand & no_eos_incl).astype(jnp.int32))
+            eos_hit = n_emit_raw < acc + 1
+            n_emit = jnp.minimum(n_emit_raw, jnp.int32(max_new) - step)
+
+            # window write: entries past n_emit are scratch — n_gen only
+            # advances by n_emit, and the next window overwrites them
+            out_buf = jax.lax.dynamic_update_slice(
+                out_buf, v[None, :], (0, n_gen[0])
+            )
+            n_gen = n_gen + n_emit
+            # new pending = t_{acc+1}, the target successor of v[0..acc]
+            tok = jax.lax.dynamic_slice_in_dim(e, acc, 1)
+            done = jnp.logical_or(done, eos_hit)
+            return (cache, dcache, tok, n_gen, done, out_buf,
+                    step + n_emit, iters + 1)
+
+        state = (
+            cache, dcache, tok0, jnp.zeros((1,), jnp.int32),
+            jnp.logical_not(live), out_buf, jnp.int32(0), jnp.int32(0),
+        )
+        for cap in seg_caps:
+            if state[0].max_len < slab_len(cap):
+                state = (
+                    grow_cache(state[0], slab_len(cap)),
+                    grow_cache(state[1], slab_len(cap)),
+                ) + state[2:]
+
+            def cond(state, cap=cap):
+                _, _, _, _, done, _, step, _ = state
+                return jnp.logical_and(jnp.any(~done), step < cap)
+
+            state = jax.lax.while_loop(cond, body, state)
+
+        _, _, _, n_gen, _, out_buf, _, iters = state
+        return out_buf, jnp.minimum(n_gen, max_new), iters
 
     # ------------------------------------------------------------------ #
 
@@ -633,24 +873,23 @@ class AsrEngine:
         pays a compile; with the persistent compilation cache a
         restart's warmup is mostly disk reads. Each (bucket, batch)
         pair is one cached executable, compiled for the engine's real
-        max_new (a smaller cap would compile a DIFFERENT graph) — on
-        random weights the silent clip decodes to the cap, with real
-        weights EOS usually cuts it short.
+        max_new (a smaller cap would compile a DIFFERENT graph).
 
-        Defaults to buckets up to 2 min of audio: the 240/360-chunk
-        long-form graphs are expensive to compile AND decode the cap on
-        silence — pass ``buckets`` explicitly to warm those.
+        The warmup dispatch marks every row born-done (live=False), so
+        the PRODUCTION graph compiles and runs — mel, encoder, prefill,
+        slab-growth copies — but the decode while_loops execute zero
+        iterations. Without this, random-weight deployments decoded the
+        silent clip to the 4096-token cap, which made warming the
+        240/360-chunk long-form buckets take minutes each.
         """
         if buckets is None:
-            buckets = [c for c in self.chunk_buckets if c <= 120]
-            if not buckets:  # long-form-only engine: warm what exists
-                buckets = list(self.chunk_buckets)
+            buckets = list(self.chunk_buckets)
         cf = self.config.audio.chunk_frames
         for c in buckets:
             clip = np.zeros(int(c * cf * 160), np.float32)
             for b in batch_sizes:
                 with stage_timer(f"warmup_c{c}_b{b}"):
-                    self.transcribe_batch([clip] * b)
+                    self.transcribe_batch([clip] * b, _warmup=True)
                 logger.info("warmed bucket %d chunks, batch %d", c, b)
 
     def transcribe_samples(
@@ -669,6 +908,7 @@ class AsrEngine:
         samples_list: list,
         languages: Optional[list] = None,
         sampling=None,
+        _warmup: bool = False,
     ) -> list:
         """Transcribe a batch of utterances in ONE device dispatch.
 
@@ -681,6 +921,10 @@ class AsrEngine:
         argmax for temperature / top-k / top-p sampling on device; None
         or temperature <= 0 is exact greedy (the same compiled graph as
         before the parameter existed).
+
+        ``_warmup`` (internal, see warmup()): dispatch the production
+        graph with every row born-done so compilation happens but the
+        decode loops run zero iterations.
         """
         from .sampling import normalize
 
@@ -714,7 +958,8 @@ class AsrEngine:
             )
             languages = list(languages) + [languages[-1]] * (b - n_real)
         live = np.zeros(b, bool)
-        live[:n_real] = True
+        if not _warmup:
+            live[:n_real] = True
         cf = self.config.audio.chunk_frames
         tpc = self.config.audio.tokens_per_chunk
         from ..config import feat_extract_output_length
@@ -764,8 +1009,12 @@ class AsrEngine:
                 jax.random.PRNGKey(sampling.seed),
                 jnp.float32(sampling.temperature),
             )
+        kw = {}
+        spec = self._spec_active(b, sample)
+        if spec:
+            kw["draft_params"] = self.draft_params
         with stage_timer("device_dispatch"):
-            out_buf, n_gen = graph(
+            out = graph(
                 self.enc_params,
                 self.dec_params,
                 jnp.asarray(np.stack(waves)),
@@ -774,7 +1023,23 @@ class AsrEngine:
                 jnp.asarray(np.asarray(true_lens, np.int32)),
                 jnp.asarray(live),
                 *extra,
+                **kw,
             )
+            if spec:
+                out_buf, n_gen, n_iters = out
+                it = int(np.asarray(n_iters))
+                tokens = int(np.asarray(n_gen)[0])
+                # emitted per iteration = accepted drafts + 1, so the
+                # mean accepted-draft count is (tokens - iters) / iters
+                self.last_spec_stats = {
+                    "iterations": it,
+                    "tokens": tokens,
+                    "mean_accepted": (
+                        (tokens - it) / it if it else 0.0
+                    ),
+                }
+            else:
+                out_buf, n_gen = out
             out_buf = np.asarray(out_buf)
             n_gen = np.asarray(n_gen)
 

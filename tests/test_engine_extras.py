@@ -184,3 +184,25 @@ def test_transcribe_clamps_segment_seconds(rng, tmp_path):
     write_wav_pcm16(wav, rng.standard_normal(16000 * 12) * 0.1, 16000)
     r = eng.transcribe(str(wav), segment_seconds=100.0)
     assert isinstance(r.text, str)
+
+
+def test_warmup_is_born_done_and_reuses_production_graph(rng):
+    """warmup() compiles the PRODUCTION graph (same cache key) but runs
+    zero decode iterations: on random weights a silent clip would decode
+    to the cap, which made warming long-form buckets take minutes."""
+    eng, *_ = make_engine(max_new=64)
+    eng.warmup(batch_sizes=(1,), buckets=(8,))
+    assert (8, 1, None) in eng._graphs
+    # born-done warmup emitted zero tokens (the same dispatch a live
+    # transcribe uses, just with live=False rows)
+    res = eng.transcribe_batch(
+        [np.zeros(16000 * 8, np.float32)], _warmup=True
+    )
+    assert res[0].raw_output == ""
+    # a real transcribe in that bucket reuses the warmed executable
+    n_before = len(eng._graphs)
+    out = eng.transcribe_samples(
+        (rng.standard_normal(16000 * 8) * 0.1).astype(np.float32)
+    )
+    assert len(eng._graphs) == n_before
+    assert out.raw_output != ""  # live rows still decode

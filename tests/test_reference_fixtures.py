@@ -178,3 +178,28 @@ def test_cli_longform_sampling_clean_error(model_dir, capsys, monkeypatch,
     assert rc == 1
     err = capsys.readouterr().err
     assert "Error:" in err and "long-form" in err
+
+
+def test_cli_batch_timestamps_consistent_with_single(model_dir, capsys,
+                                                     monkeypatch):
+    """--timestamps in the multi-file batch path prints the same Segment
+    spans the single-file path would (one whole-file span per non-empty
+    transcript), not a synthetic always-printed line."""
+    monkeypatch.setenv("ASR_MAX_NEW_TOKENS", "3")
+    monkeypatch.setenv("ASR_DTYPE", "float32")
+    from qwen3_asr_rs_tpu.cli import main
+
+    rc = main([
+        str(model_dir), str(FIXTURES[0]), str(FIXTURES[1]), "--timestamps"
+    ])
+    assert rc == 0
+    batch_out = capsys.readouterr().out
+    # each file with non-empty text gets exactly one [start - end] span
+    import re
+
+    spans = re.findall(r"^\[(\d+\.\d\d) - (\d+\.\d\d)\] ", batch_out,
+                       re.MULTILINE)
+    texts = re.findall(r"^Text: (.*)$", batch_out, re.MULTILINE)
+    assert len(spans) == sum(1 for t in texts if t.strip())
+    for start, _end in spans:
+        assert start == "0.00"
