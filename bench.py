@@ -36,7 +36,8 @@ ITERS = 5
 NORTH_STAR_XRT = 100.0
 
 
-def _mk_engine(config, params, quantize, max_new, bucket):
+def _mk_engine(config, params, quantize, max_new, bucket,
+               speculative=None, spec_k=4):
     import jax.numpy as jnp
 
     from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
@@ -57,6 +58,8 @@ def _mk_engine(config, params, quantize, max_new, bucket):
         params=params,
         tokenizer=_Tok(),
         quantize=quantize,
+        speculative=speculative,
+        spec_k=spec_k,
     )
 
 
@@ -93,34 +96,74 @@ def _bench_once(engine, config, seconds, num_chunks):
         jnp.asarray([len(prompt)], jnp.int32),
         jnp.asarray([True]),
     )
+    spec = engine._spec_active(1, False)
+    kw = {"draft_params": engine.draft_params} if spec else {}
 
     # warmup / compile. NOTE: results are fetched to host each run —
     # through the tunneled-TPU transport only a host fetch truly
     # synchronizes, and the fetch is part of honest end-to-end latency.
+    n_iters = None
     for _ in range(WARMUP):
-        out, n_gen = graph(*args)
+        out, n_gen, *extra = graph(*args, **kw)
         np.asarray(out)
     n_generated = int(np.asarray(n_gen)[0])
+    if extra:
+        n_iters = int(np.asarray(extra[0]))
 
     times = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
-        out, n_gen = graph(*args)
+        out, n_gen, *extra = graph(*args, **kw)
         np.asarray(out)
         times.append(time.perf_counter() - t0)
     median = sorted(times)[len(times) // 2]
     print(
         f"  {seconds:.0f}s clip: generated {n_generated} tok/run, times "
-        f"{[round(t * 1000, 1) for t in times]} ms",
+        f"{[round(t * 1000, 1) for t in times]} ms"
+        + (f", spec iterations {n_iters}" if n_iters else ""),
         file=sys.stderr,
     )
-    return median
+    return (median, n_generated, n_iters) if spec else median
 
 
 import threading
 
 _emit_lock = threading.Lock()
 _emitted = False
+
+
+REGRESSION_TOLERANCE = 0.05  # flag xRT drops beyond 5% vs the pinned run
+
+
+def _deltas_vs_pinned(rows):
+    """Round-over-round regression pin (BENCH_BASELINE.json, checked in
+    from the previous round's chip run). Returns ({key: pct_delta},
+    [warnings]); positive delta = faster than the pin. Without this,
+    nothing caught the bf16 headline drifting 118.4 -> 115.9 over three
+    rounds — any future >5% drop now shows up in the result line."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_BASELINE.json")
+    try:
+        with open(path) as f:
+            pinned = json.load(f).get("rows", {})
+    except (OSError, ValueError):
+        return {}, []
+    deltas, warnings = {}, []
+    for key, prev in pinned.items():
+        cur = rows.get(key)
+        if not isinstance(cur, (int, float)) or not prev:
+            continue
+        higher_better = "_xrt_" in key or key.endswith("_mean_accepted")
+        delta = (cur - prev) / prev if higher_better else (prev - cur) / prev
+        deltas[key] = round(delta, 4)
+        if "_xrt_" in key and delta < -REGRESSION_TOLERANCE:
+            warnings.append(
+                f"{key}: {cur} vs pinned {prev} "
+                f"({delta * 100:+.1f}% beyond {REGRESSION_TOLERANCE:.0%})"
+            )
+    return deltas, warnings
 
 
 def _emit(rows):
@@ -131,6 +174,9 @@ def _emit(rows):
             return
         _emitted = True
     xrt = rows.get("bf16_xrt_30s_128tok")
+    deltas, warnings = _deltas_vs_pinned(rows)
+    for w in warnings:
+        print(f"REGRESSION: {w}", file=sys.stderr)
     result = {
         "metric": "throughput_0.6B_greedy_30s_128tok",
         "value": xrt,
@@ -140,6 +186,10 @@ def _emit(rows):
         ),
         "extra": rows,
     }
+    if deltas:
+        result["delta_vs_prev"] = deltas
+        if warnings:
+            result["regressions"] = warnings
     print(json.dumps(result), flush=True)
 
 
@@ -216,6 +266,30 @@ def _run(rows, budget):
         if time.perf_counter() - t_start > budget:
             rows["truncated_at"] = f"{tag}_4s (budget {budget:.0f}s)"
             break
+
+    # Speculative decoding rows: bf16 target verifying int4 drafts
+    # (quality-safe — output is bit-identical to bf16 greedy at ANY
+    # acceptance), plus the self-draft machinery ceiling (acceptance
+    # 1.0: what spec decode yields when the draft always agrees). On
+    # synthetic gaussian weights int4/bf16 argmax agreement is low
+    # (~6%, NOTES.md), so spec_int4 here is a lower bound; real weights
+    # decide the deployed draft mode.
+    if "truncated_at" not in rows:
+        for draft, tag in (("int4", "spec_int4"), ("bf16", "spec_self")):
+            if time.perf_counter() - t_start > budget:
+                rows["truncated_at"] = f"{tag} (budget {budget:.0f}s)"
+                break
+            print(f"--- {tag} 30 s / 128 tok (k=4)", file=sys.stderr)
+            eng = _mk_engine(config, params, None, max_new=128, bucket=30,
+                             speculative=draft, spec_k=4)
+            t30, n_tok, n_it = _bench_once(eng, config, 30.0, 30)
+            rows[f"{tag}_xrt_30s_128tok"] = round(30.0 / t30, 2)
+            rows[f"{tag}_ms_30s"] = round(t30 * 1000, 1)
+            if n_it:
+                rows[f"{tag}_mean_accepted"] = round(
+                    (n_tok - n_it) / n_it, 2
+                )
+            del eng
 
 
 def main():
