@@ -26,6 +26,7 @@ Parameters are a plain pytree of jnp arrays; linear weights are stored
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -1041,20 +1042,28 @@ class TextDecoder:
         explicit self-term).
         """
         impl = self._decode_attn_impl(cache.max_len)
-        if cache.quantized:
-            # the standalone decode-attention kernel has no int8-KV
-            # path (the megakernel does); dense XLA dequant is exact
+        if cache.quantized and cache.max_len % 128:
+            # int8-KV scale slabs are LANE-sliced in the DMA kernel, so
+            # the clamp needs 128-aligned slabs (engine/serving allocate
+            # 128-aligned when kv_quant; odd sizes fall back to dense)
             impl = "dense"
         num_layers = cache.k.shape[0]
         if impl == "kernel":
             from ..ops.pallas.decode_attention import decode_attention_dma
 
             k_slabs, v_slabs = cache.k, cache.v  # closed over: no slicing
+            if cache.quantized:
+                attn_fn = functools.partial(
+                    decode_attention_dma,
+                    k_scales=cache.k_scale, v_scales=cache.v_scale,
+                )
+            else:
+                attn_fn = decode_attention_dma
 
             def step(h, layer, l_idx):
                 return self._decode_layer_kernel(
                     layer, l_idx, h, cos, sin, k_slabs, v_slabs,
-                    kv_start, kv_end, decode_attention_dma,
+                    kv_start, kv_end, attn_fn,
                 )
         else:
             s_max = cache.max_len
@@ -1133,9 +1142,15 @@ class TextDecoder:
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
 
+        # self K/V stay UNQUANTIZED: the kernel folds the self token in
+        # f32 regardless of the slab dtype (casting to an int8 slab's
+        # dtype would truncate real values to garbage)
+        self_dtype = (
+            h.dtype if k_slabs.dtype == jnp.int8 else k_slabs.dtype
+        )
         out = attn_fn(
             q[:, 0], k_slabs, v_slabs,
-            k[:, 0].astype(k_slabs.dtype), v[:, 0].astype(v_slabs.dtype),
+            k[:, 0].astype(self_dtype), v[:, 0].astype(self_dtype),
             l_idx, kv_start, kv_end,
             interpret=_interpret_pallas(),
         )  # (B, Hq, D)

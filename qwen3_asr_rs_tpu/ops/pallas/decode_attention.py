@@ -254,19 +254,23 @@ def _dma_kernel(
     q_ref,       # (1, Hq, D) VMEM
     k_self_ref,  # (1, Hkv, D) VMEM
     v_self_ref,  # (1, Hkv, D) VMEM
-    k_hbm,       # (L, B, Hkv, S, D) ANY/HBM
-    v_hbm,       # (L, B, Hkv, S, D) ANY/HBM
-    o_ref,       # (1, Hq, D) VMEM
-    k_buf,       # (2, Hkv, BS, D) VMEM scratch
-    v_buf,       # (2, Hkv, BS, D) VMEM scratch
-    sems,        # (2, 2) DMA semaphores
-    *,
+    *rest,       # HBM slabs + outputs + scratch; layout depends on
+    #              `quantized` (int8-KV adds two f32 scale slabs, their
+    #              double-buffers, and two more semaphore columns):
+    #     k_hbm, v_hbm[, ks_hbm, vs_hbm], o_ref,
+    #     k_buf, v_buf[, ks_buf, vs_buf], sems
     scale: float,
     block_s: int,
     hkv: int,
     groups: int,
     s_max: int,
+    quantized: bool,
 ):
+    if quantized:
+        (k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
+         k_buf, v_buf, ks_buf, vs_buf, sems) = rest
+    else:
+        k_hbm, v_hbm, o_ref, k_buf, v_buf, sems = rest
     b = pl.program_id(0)
     hq = hkv * groups
     layer = layer_ref[0]
@@ -290,17 +294,22 @@ def _dma_kernel(
     first_blk = start // block_s
     n_blocks = jnp.maximum(pl.cdiv(end, block_s) - first_blk, 0)
 
+    # int8-KV scale slabs are (L, B, Hkv, S): the slot slice is a LANE
+    # slice, so the clamp must be provably 128-aligned; bf16/int8 KV
+    # slabs slice slots on a sublane dim, where 8 suffices.
+    unit = 128 if quantized else 8
+
     def blk_start(i):
         # clamped for the DMA so the copy stays in bounds (masking below
-        # uses the clamped global indices). Computed in units of 8 and
-        # multiplied back so Mosaic can PROVE the dynamic slice offset
-        # is tile-aligned — a raw minimum() of two multiples of 8
+        # uses the clamped global indices). Computed in units of `unit`
+        # and multiplied back so Mosaic can PROVE the dynamic slice
+        # offset is tile-aligned — a raw minimum() of two multiples
         # defeats its divisibility prover (1.7B batch-8 compile failure,
-        # round 4); block_s and s_max are 8-aligned, asserted at
+        # round 4); block_s and s_max are unit-aligned, asserted at
         # dispatch.
         return jnp.minimum(
-            (first_blk + i) * (block_s // 8), (s_max - block_s) // 8
-        ) * 8
+            (first_blk + i) * (block_s // unit), (s_max - block_s) // unit
+        ) * unit
 
     def dma(slot, i, buf, hbm, sem_col):
         return pltpu.make_async_copy(
@@ -309,10 +318,23 @@ def _dma_kernel(
             sems.at[slot, sem_col],
         )
 
+    def start_block_dmas(slot, i):
+        dma(slot, i, k_buf, k_hbm, 0).start()
+        dma(slot, i, v_buf, v_hbm, 1).start()
+        if quantized:
+            dma(slot, i, ks_buf, ks_hbm, 2).start()
+            dma(slot, i, vs_buf, vs_hbm, 3).start()
+
+    def wait_block_dmas(slot, i):
+        dma(slot, i, k_buf, k_hbm, 0).wait()
+        dma(slot, i, v_buf, v_hbm, 1).wait()
+        if quantized:
+            dma(slot, i, ks_buf, ks_hbm, 2).wait()
+            dma(slot, i, vs_buf, vs_hbm, 3).wait()
+
     @pl.when(n_blocks > 0)
     def _run():
-        dma(0, 0, k_buf, k_hbm, 0).start()
-        dma(0, 0, v_buf, v_hbm, 1).start()
+        start_block_dmas(0, 0)
 
         def body(i, carry):
             m_prev, l_prev, acc = carry
@@ -320,15 +342,16 @@ def _dma_kernel(
 
             @pl.when(i + 1 < n_blocks)
             def _prefetch():
-                nxt = jax.lax.rem(i + 1, 2)
-                dma(nxt, i + 1, k_buf, k_hbm, 0).start()
-                dma(nxt, i + 1, v_buf, v_hbm, 1).start()
+                start_block_dmas(jax.lax.rem(i + 1, 2), i + 1)
 
-            dma(slot, i, k_buf, k_hbm, 0).wait()
-            dma(slot, i, v_buf, v_hbm, 1).wait()
+            wait_block_dmas(slot, i)
 
             kh_all = k_buf[slot].astype(jnp.float32)  # (Hkv, BS, D)
             vh_all = v_buf[slot].astype(jnp.float32)
+            if quantized:
+                # dequantize in VMEM: value = int8 * per-slot scale
+                kh_all = kh_all * ks_buf[slot][..., None]
+                vh_all = vh_all * vs_buf[slot][..., None]
             s = _scores(q, kh_all, hkv, groups, block_s) * scale
 
             gslot = blk_start(i) + jax.lax.broadcasted_iota(
@@ -371,14 +394,16 @@ def _dma_kernel(
 )
 def decode_attention_dma(
     q,        # (B, Hq, D)
-    k_slabs,  # (L, B, Hkv, S, D)
+    k_slabs,  # (L, B, Hkv, S, D) — int8 when k_scales is given
     v_slabs,  # (L, B, Hkv, S, D)
-    k_self,   # (B, Hkv, D)
+    k_self,   # (B, Hkv, D) — always UNQUANTIZED (bf16/f32)
     v_self,   # (B, Hkv, D)
     layer,    # scalar int32
     start,    # (B,) int32 or None
     end,      # (B,) int32
     *,
+    k_scales=None,  # (L, B, Hkv, S) f32 — int8-KV per-slot scales
+    v_scales=None,
     scale: float | None = None,
     block_s: int = 512,
     interpret: bool = False,
@@ -386,6 +411,7 @@ def decode_attention_dma(
     b, hq, d = q.shape
     _, _, hkv, s_max, _ = k_slabs.shape
     groups = hq // hkv
+    quantized = k_scales is not None
     if scale is None:
         scale = d ** -0.5
     if start is None:
@@ -394,14 +420,39 @@ def decode_attention_dma(
     end = end.astype(jnp.int32)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
     block_s = min(block_s, s_max)
-    if s_max % 8 or block_s % 8:
-        # the clamped DMA start is computed in units of 8 so Mosaic can
-        # prove slice alignment — engine/serving allocate 8-aligned
-        # slabs; anything else would silently drop tail KV slots
+    unit = 128 if quantized else 8
+    if s_max % unit or block_s % unit:
+        # the clamped DMA start is computed in units of `unit` so Mosaic
+        # can prove slice alignment — engine/serving allocate 8-aligned
+        # slabs (128-aligned for int8-KV, whose scale slabs are sliced
+        # on a LANE dim); anything else would silently drop tail slots
         raise ValueError(
-            f"decode_attention_dma needs 8-aligned slab/block sizes, "
-            f"got s_max={s_max} block_s={block_s}"
+            f"decode_attention_dma needs {unit}-aligned slab/block "
+            f"sizes, got s_max={s_max} block_s={block_s}"
         )
+
+    slab_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((2, hkv, block_s, d), k_slabs.dtype),
+        pltpu.VMEM((2, hkv, block_s, d), v_slabs.dtype),
+    ]
+    operands = [layer, start, end, q, k_self, v_self, k_slabs, v_slabs]
+    if quantized:
+        slab_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        scratch += [
+            pltpu.VMEM((2, hkv, block_s), jnp.float32),
+            pltpu.VMEM((2, hkv, block_s), jnp.float32),
+        ]
+        operands += [
+            k_scales.astype(jnp.float32), v_scales.astype(jnp.float32)
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((2, 4 if quantized else 2)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -410,15 +461,10 @@ def decode_attention_dma(
             pl.BlockSpec((1, hq, d), lambda bb, *_: (bb, 0, 0)),
             pl.BlockSpec((1, hkv, d), lambda bb, *_: (bb, 0, 0)),
             pl.BlockSpec((1, hkv, d), lambda bb, *_: (bb, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            *slab_specs,
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda bb, *_: (bb, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, hkv, block_s, d), k_slabs.dtype),
-            pltpu.VMEM((2, hkv, block_s, d), v_slabs.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
 
     kernel = functools.partial(
@@ -428,6 +474,7 @@ def decode_attention_dma(
         hkv=hkv,
         groups=groups,
         s_max=s_max,
+        quantized=quantized,
     )
 
     return pl.pallas_call(
@@ -435,4 +482,4 @@ def decode_attention_dma(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         interpret=interpret,
-    )(layer, start, end, q, k_self, v_self, k_slabs, v_slabs)
+    )(*operands)

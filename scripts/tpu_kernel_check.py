@@ -123,6 +123,50 @@ def main():
     )
     print(f"decode_attention_dma clamped last block err: {dma_err:.5f}")
     assert dma_err < 0.05, "DMA decode attention mismatch on TPU"
+
+    # int8-KV DMA path (round 5): per-slot scale slabs ride their own
+    # double-buffered DMA and dequantize in VMEM. Slabs 128-aligned
+    # (scale slices are LANE slices), live range ends mid-block so the
+    # clamp + mask engage, start mid-slab so leading dead blocks skip.
+    from qwen3_asr_rs_tpu.models.text_decoder import quantize_kv
+
+    S3 = 640
+    k3f = rng.standard_normal((L, B2, Hkv, S3, D)).astype(np.float32) * 0.3
+    v3f = rng.standard_normal((L, B2, Hkv, S3, D)).astype(np.float32) * 0.3
+    kq3, ksc3 = quantize_kv(jnp.asarray(k3f))
+    vq3, vsc3 = quantize_kv(jnp.asarray(v3f))
+    start3 = jnp.asarray([0, 37] * (B2 // 2), jnp.int32)
+    end3 = jnp.asarray([450, 600] * (B2 // 2), jnp.int32)
+    out_q = decode_attention_dma(
+        q2d, kq3, vq3, kf2, vf2, jnp.int32(1), start3, end3,
+        k_scales=ksc3, v_scales=vsc3, block_s=256,
+    )
+    # dense reference on the dequantized layer-1 slab
+    k_deq = np.asarray(kq3[1], np.float32) * np.asarray(ksc3[1])[..., None]
+    v_deq = np.asarray(vq3[1], np.float32) * np.asarray(vsc3[1])[..., None]
+    live = (
+        (np.arange(S3)[None, :] >= np.asarray(start3)[:, None])
+        & (np.arange(S3)[None, :] < np.asarray(end3)[:, None])
+    )  # (B, S)
+    kd3 = jnp.concatenate(
+        [jnp.asarray(k_deq), kf2.astype(jnp.float32)[:, :, None]], axis=2
+    )
+    vd3 = jnp.concatenate(
+        [jnp.asarray(v_deq), vf2.astype(jnp.float32)[:, :, None]], axis=2
+    )
+    sc_q = jnp.einsum(
+        "bhgd,bhkd->bhgk",
+        q2d.astype(jnp.float32).reshape(B2, Hkv, 2, D), kd3
+    ) * D ** -0.5
+    mask = np.concatenate([live, np.ones((B2, 1), bool)], axis=1)
+    sc_q = jnp.where(mask[:, None, None, :], sc_q, -1e9)
+    p_q = jax.nn.softmax(sc_q, axis=-1)
+    ref_q = jnp.einsum("bhgk,bhkd->bhgd", p_q, vd3).reshape(B2, 16, D)
+    q_err = np.max(
+        np.abs(np.asarray(out_q, np.float32) - np.asarray(ref_q))
+    )
+    print(f"decode_attention_dma int8-KV err: {q_err:.5f}")
+    assert q_err < 0.05, "int8-KV DMA decode attention mismatch on TPU"
     print("TPU kernel check OK")
 
 

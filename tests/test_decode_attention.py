@@ -78,3 +78,66 @@ def test_decode_attention_matches_dense(rng, b, s, hq, hkv, d, starts,
     )
     np.testing.assert_allclose(np.asarray(got_dma), want, atol=3e-2,
                                rtol=3e-2)
+
+
+@pytest.mark.parametrize(
+    "b,s,starts,ends,block_s",
+    [
+        # int8-KV slabs must be 128-aligned (scale slabs lane-slice);
+        # ends mid-block exercise the clamp + mask path
+        (1, 640, None, [450], 256),
+        (2, 384, [0, 137], [296, 250], 128),
+        (1, 128, [0], [1], 128),  # single live slot
+    ],
+)
+@pytest.mark.slow
+def test_decode_attention_dma_int8_kv(rng, b, s, starts, ends, block_s):
+    """int8-KV DMA path: per-slot dequant inside the kernel must match
+    the dense reference on the dequantized values."""
+    from qwen3_asr_rs_tpu.models.text_decoder import quantize_kv
+
+    hq, hkv, d = 16, 8, 128
+    L = 3
+    q = (rng.standard_normal((b, hq, d)) * 0.5).astype(np.float32)
+    k3 = (rng.standard_normal((L, b, hkv, s, d)) * 0.3).astype(np.float32)
+    v3 = (rng.standard_normal((L, b, hkv, s, d)) * 0.3).astype(np.float32)
+    k_self = (rng.standard_normal((b, hkv, d)) * 0.3).astype(np.float32)
+    v_self = (rng.standard_normal((b, hkv, d)) * 0.3).astype(np.float32)
+
+    kq, ks = quantize_kv(jnp.asarray(k3))
+    vq, vs = quantize_kv(jnp.asarray(v3))
+    start = None if starts is None else jnp.asarray(starts, jnp.int32)
+    end = jnp.asarray(ends, jnp.int32)
+
+    got = decode_attention_dma(
+        jnp.asarray(q), kq, vq,
+        jnp.asarray(k_self), jnp.asarray(v_self), jnp.int32(1),
+        start, end,
+        k_scales=ks, v_scales=vs,
+        block_s=block_s, interpret=True,
+    )
+    # reference attends the DEQUANTIZED slab values
+    k_deq = np.asarray(kq[1], np.float32) * np.asarray(ks[1])[..., None]
+    v_deq = np.asarray(vq[1], np.float32) * np.asarray(vs[1])[..., None]
+    want = dense_reference(
+        q, k_deq, v_deq, k_self, v_self,
+        None if starts is None else starts, ends,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-2, rtol=3e-2)
+
+
+@pytest.mark.slow
+def test_decode_attention_dma_int8_alignment_contract():
+    """int8-KV slabs that are 8- but not 128-aligned must be rejected
+    (the scale-slab lane slice cannot be proven aligned)."""
+    b, hq, hkv, d, s = 1, 4, 2, 128, 136  # 136 % 8 == 0, % 128 != 0
+    z = jnp.zeros
+    with pytest.raises(ValueError, match="128-aligned"):
+        decode_attention_dma(
+            z((b, hq, d)), z((1, b, hkv, s, d), jnp.int8),
+            z((1, b, hkv, s, d), jnp.int8),
+            z((b, hkv, d)), z((b, hkv, d)), jnp.int32(0),
+            None, jnp.asarray([8], jnp.int32),
+            k_scales=z((1, b, hkv, s)), v_scales=z((1, b, hkv, s)),
+            interpret=True,
+        )

@@ -106,3 +106,32 @@ def test_engine_with_int8_kv(rng):
     samples = (rng.standard_normal(16000) * 0.1).astype(np.float32)
     out = eng.transcribe_samples(samples)
     assert isinstance(out.text, str)
+
+
+def test_engine_int8_kv_dma_kernel_matches_dense(rng, monkeypatch):
+    """int8-KV decode through the live-block DMA kernel (round 5: the
+    kernel grew an int8 path; before, int8 KV forced whole-slab dense
+    reads) must emit the same tokens as the dense XLA dequant path."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_engine_e2e import MockTokenizer, make_engine
+
+    from qwen3_asr_rs_tpu.runtime.engine import AsrEngine
+
+    _, cfg, enc_params, dec_params = make_engine(max_new=6)
+
+    def eng():
+        return AsrEngine(
+            model_dir=None, dtype=jnp.float32, max_new_tokens=6,
+            chunk_buckets=(2,), config=cfg,
+            params=(enc_params, dec_params), tokenizer=MockTokenizer(),
+            kv_dtype="int8",
+        )
+
+    samples = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    monkeypatch.setenv("ASR_DECODE_ATTN", "dense")
+    dense = eng().transcribe_samples(samples)
+    monkeypatch.setenv("ASR_DECODE_ATTN", "kernel")
+    kernel = eng().transcribe_samples(samples)
+    assert kernel.raw_output == dense.raw_output

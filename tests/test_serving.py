@@ -539,3 +539,104 @@ def test_serving_int8_kv_on_dp_mesh(rng):
     for r in reqs:
         want = offline.transcribe_samples(r.samples)
         assert r.result.raw_output == want.raw_output
+
+
+def test_batched_admission_matches_serialized_and_offline(rng):
+    """A same-bucket burst admitted in ONE batched prefill dispatch must
+    emit exactly the tokens of serialized per-request admission (and of
+    the offline engine): the batched graph is the same math at B=n."""
+    eng, *_ = make_engine(max_new=4)
+    clips = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32)
+        for n in (8000, 20000, 16000, 30000)  # all bucket 2
+    ]
+
+    batched = ContinuousBatcher(eng, n_slots=4, segment_steps=2)
+    assert batched.admit_batch_max > 1
+    reqs = [Request(c) for c in clips]
+    for r in reqs:
+        batched.submit(r)
+    batched.step(block_timeout=0.001)  # one step admits the whole burst
+    # ONE size-4 graph for the bucket-2 burst
+    assert (2, 4) in batched._batch_prefill_jit
+    _drive(batched, lambda: all(r.event.is_set() for r in reqs))
+
+    serial = ContinuousBatcher(
+        eng, n_slots=4, segment_steps=2, admit_batch_max=1
+    )
+    sreqs = [Request(c) for c in clips]
+    for r in sreqs:
+        serial.submit(r)
+    _drive(serial, lambda: all(r.event.is_set() for r in sreqs))
+
+    for clip, r, s in zip(clips, reqs, sreqs):
+        offline = eng.transcribe_samples(clip)
+        assert r.result.raw_output == offline.raw_output
+        assert s.result.raw_output == offline.raw_output
+
+
+def test_batched_admission_pads_to_power_of_two(rng):
+    """A group of 3 pads to 4 by replicating row 0 (same slot id): the
+    duplicate write carries identical data, results unaffected."""
+    eng, *_ = make_engine(max_new=3)
+    batcher = ContinuousBatcher(eng, n_slots=4, segment_steps=2)
+    clips = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32)
+        for n in (8000, 20000, 16000)
+    ]
+    reqs = [Request(c) for c in clips]
+    for r in reqs:
+        batcher.submit(r)
+    batcher.step(block_timeout=0.001)
+    assert (2, 4) in batcher._batch_prefill_jit  # padded size compiled
+    _drive(batcher, lambda: all(r.event.is_set() for r in reqs))
+    for clip, r in zip(clips, reqs):
+        offline = eng.transcribe_samples(clip)
+        assert r.result.raw_output == offline.raw_output
+
+
+def test_batched_admission_mixed_buckets_and_temperature(rng):
+    """Mixed buckets split into per-bucket groups; sampled rows draw
+    their first token inside the batched graph and still return text."""
+    eng, *_ = make_engine(max_new=4)
+    batcher = ContinuousBatcher(eng, n_slots=4, segment_steps=2)
+    short = [
+        Request((rng.standard_normal(8000) * 0.1).astype(np.float32),
+                temperature=0.8 if i == 0 else 0.0)
+        for i in range(2)
+    ]  # bucket 2
+    longs = [
+        Request((rng.standard_normal(64000) * 0.1).astype(np.float32))
+        for _ in range(2)
+    ]  # bucket 4
+    for r in short + longs:
+        batcher.submit(r)
+    _drive(batcher, lambda: all(
+        r.event.is_set() for r in short + longs
+    ))
+    for r in short + longs:
+        assert isinstance(r.result.raw_output, str)
+    # the greedy rows still match offline exactly
+    offline = eng.transcribe_samples(short[1].samples)
+    assert short[1].result.raw_output == offline.raw_output
+
+
+def test_batched_admission_int8_kv_slab(rng):
+    """Batched admission into a quantized slot pool: the batched tmp
+    cache quantizes and commits values + scales row-by-row."""
+    eng = _kv8_engine(max_new=3)
+    batcher = ContinuousBatcher(eng, n_slots=2, segment_steps=2)
+    assert batcher.kv_quant
+    clips = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32)
+        for n in (20000, 9000)
+    ]
+    reqs = [Request(c) for c in clips]
+    for r in reqs:
+        batcher.submit(r)
+    batcher.step(block_timeout=0.001)
+    assert (2, 2) in batcher._batch_prefill_jit
+    _drive(batcher, lambda: all(r.event.is_set() for r in reqs))
+    for clip, r in zip(clips, reqs):
+        offline = eng.transcribe_samples(clip)
+        assert r.result.raw_output == offline.raw_output
