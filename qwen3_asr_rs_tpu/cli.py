@@ -47,7 +47,9 @@ Options (extensions beyond the reference binary):
   --seed N          PRNG seed for --temperature (default 0).
   --timestamps      After the Text: line, print one `[start - end] text`
                     line per time-stamped segment (long-form audio gets
-                    one per stitched chunk, short audio a single span).
+                    one per stitched chunk, short audio a single span),
+                    each followed by indented per-word `[start - end]`
+                    lines (length-proportional within the segment).
   --draft MODE      Speculative decoding: draft with a quantized copy of
                     the checkpoint (int4 | int4g | int8 | lm8 | bf16)
                     and verify with the full model — output is
@@ -249,6 +251,8 @@ def main(argv=None) -> int:
             if timestamps:
                 for s in result.segments or []:
                     print(f"[{s.start:.2f} - {s.end:.2f}] {s.text.strip()}")
+                    for w in s.words or []:
+                        print(f"  [{w.start:.2f} - {w.end:.2f}] {w.word}")
             if engine.last_spec_stats:
                 st = engine.last_spec_stats
                 logger.info(
@@ -267,7 +271,7 @@ def main(argv=None) -> int:
         results = engine.transcribe_batch(
             samples, [language] * len(samples), sampling=sampling
         )
-        from .runtime.longform import Segment
+        from .runtime.longform import Segment, attach_words
 
         for f, s, result in zip(audio_files, samples, results):
             print(f"File: {f}")
@@ -278,7 +282,7 @@ def main(argv=None) -> int:
                 # whole-file span when the transcript is non-empty (the
                 # batch path has no long-form stitching, so there is
                 # exactly one span per file)
-                segs = (
+                segs = attach_words(
                     [Segment(0, 0.0, len(s) / 16000, result.text)]
                     if result.text.strip() else []
                 )
@@ -287,6 +291,8 @@ def main(argv=None) -> int:
                         f"[{seg.start:.2f} - {seg.end:.2f}] "
                         f"{seg.text.strip()}"
                     )
+                    for w in seg.words or []:
+                        print(f"  [{w.start:.2f} - {w.end:.2f}] {w.word}")
         finish()
         return 0
     except (AsrError, ValueError) as e:

@@ -30,17 +30,19 @@ def auto_attention_impl(b: int, hq: int, sq: int, sk: int,
                         on_tpu: bool) -> str:
     """'flash' or 'dense' for the auto dispatch.
 
-    Measured on v5e (0.6B decoder prefill, B=1, 16Q/8KV, D=128): XLA's
-    dense path beats the Pallas flash kernel at EVERY practical length
-    with a ~1.5x constant factor (dense/flash ms: 512: 5.4/8.5, 1024:
-    12.2/24.8, 2048: 46/73, 3072: 95/147 — PERFORMANCE.md round 3c),
-    so speed never selects flash. The kernel's remaining value is
-    MEMORY: dense materializes the (B, Hq, Sq, Sk) f32 scores, flash
-    streams them through VMEM. Auto therefore picks flash only where
-    the score tensor becomes a multi-GB allocation — sized in BYTES
-    (B*Hq*Sq*Sk*4), not sequence length alone: a batch-8 prefill at 3k
-    tokens materializes the same ~5 GB a batch-1 9k-token prefill
-    does. ASR_ATTN_THRESHOLD is the B=1-equivalent sequence length
+    Measured on v5e (0.6B decoder prefill, B=1, 16Q/8KV, D=128,
+    bf16). After the round-5 kernel tuning (bf16 in-kernel QK dot,
+    256x512 blocks — scripts/perf_flash_tune.py, PERFORMANCE.md round
+    5), flash is ~parity with dense at 4k tokens and WINS 1.07-1.14x
+    at 6k-9k (dense/flash ms: 4096: 106/111, 6144: 177/154, 9216:
+    282/264), on top of its memory advantage: dense materializes the
+    (B, Hq, Sq, Sk) f32 scores (5 GB at 9k tokens), flash streams
+    them through VMEM. Below 4k dense still wins slightly (2048:
+    46.8/51) thanks to XLA fusion, so the dispatch is sized in score
+    BYTES (B*Hq*Sq*Sk*4), not sequence length alone: a batch-8
+    prefill at 3k tokens materializes the same bytes a batch-1
+    9k-token prefill does and flips to flash at the same point.
+    ASR_ATTN_THRESHOLD is the B=1-equivalent sequence length
     (default 4096).
     """
     import os

@@ -348,11 +348,18 @@ def _dma_kernel(
 
             kh_all = k_buf[slot].astype(jnp.float32)  # (Hkv, BS, D)
             vh_all = v_buf[slot].astype(jnp.float32)
-            if quantized:
-                # dequantize in VMEM: value = int8 * per-slot scale
-                kh_all = kh_all * ks_buf[slot][..., None]
-                vh_all = vh_all * vs_buf[slot][..., None]
             s = _scores(q, kh_all, hkv, groups, block_s) * scale
+            if quantized:
+                # fold per-slot K scales into the LOGITS instead of
+                # dequantizing the (Hkv, BS, D) buffer: q . (k_int8*ks)
+                # == (q . k_int8) * ks, and the multiply shrinks from
+                # O(BS*D) VPU elements to O(G*BS). Must happen BEFORE
+                # masking — a dead slot's scale can be 0 and would
+                # un-mask MASK_VALUE positions if applied after.
+                s = (
+                    s.reshape(hkv, groups, block_s)
+                    * ks_buf[slot][:, None, :]
+                ).reshape(hq, block_s)
 
             gslot = blk_start(i) + jax.lax.broadcasted_iota(
                 jnp.int32, (hq, block_s), 1
@@ -368,7 +375,18 @@ def _dma_kernel(
             corr = jnp.exp(m_prev - m_new)
             p = jnp.exp(s - m_new)
             l_new = l_prev * corr + jnp.sum(p, 1, keepdims=True)
-            acc = acc * corr + _weighted_v(p, vh_all, hkv, groups, block_s)
+            if quantized:
+                # V scales fold into the probabilities the same way:
+                # sum_k p_k * (v_int8_k * vs_k) == sum_k (p_k*vs_k) *
+                # v_int8_k. The softmax denominator uses the UNSCALED p.
+                pv = (
+                    p.reshape(hkv, groups, block_s)
+                    * vs_buf[slot][:, None, :]
+                ).reshape(hq, block_s)
+            else:
+                pv = p
+            acc = acc * corr + _weighted_v(pv, vh_all, hkv, groups,
+                                           block_s)
             return m_new, l_new, acc
 
         m0 = jnp.full((hq, 1), INIT_M, jnp.float32)

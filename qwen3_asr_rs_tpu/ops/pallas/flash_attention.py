@@ -15,6 +15,17 @@ and the running max / denominator / accumulator carried in VMEM scratch
 across k iterations (the standard TPU flash pattern: init at k==0, write
 out at k==last). Masking uses a large-negative finite constant so padded
 rows stay NaN-free (matching ops/attention.py::MASK_VALUE semantics).
+
+Tuning (round 5, measured on v5e at 0.6B decoder-prefill shapes —
+B=1, 16Q/8KV, D=128, bf16, causal; scripts/perf_flash_tune.py):
+  * the QK dot runs in the INPUT dtype with f32 accumulation — a prior
+    .astype(f32) before the dot forced multi-pass f32 MXU matmuls and
+    was the main reason dense XLA used to win every prefill length;
+  * default blocks are 256x512 (was 128x128): best-or-tied at every
+    length >= 4k in two independent sweeps. With both changes flash is
+    ~parity with dense at 4k tokens and wins 1.07-1.14x at 6k-9k (the
+    240/360-chunk long-form prefills) while still never materializing
+    the score matrix (dense at 9k builds a 5 GB f32 score tensor).
 """
 
 from __future__ import annotations
@@ -65,12 +76,16 @@ def _flash_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     def _block():
-        q = q_ref[:].astype(jnp.float32)
-        k = k_ref[:].astype(jnp.float32)
+        # QK dot in the INPUT dtype with f32 accumulation: on bf16
+        # activations the MXU runs at native bf16 throughput (a prior
+        # .astype(f32) here forced multi-pass f32 matmuls, ~3x slower
+        # and the main reason dense XLA — which also contracts bf16
+        # with preferred_element_type=f32 — used to win every prefill
+        # measurement; PERFORMANCE.md round 5)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (BQ, BK)
+        ) * scale  # (BQ, BK) f32
 
         col = ki * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
@@ -143,8 +158,8 @@ def flash_attention(
     *,
     causal: bool = False,
     scale: float | None = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 256,
+    block_k: int = 512,
     interpret: bool = False,
 ):
     batch, sq, hq, d = q.shape

@@ -1081,10 +1081,10 @@ class AsrEngine:
             self.max_bucket_seconds,
         )
         if len(samples) <= int(max_seconds * 16000):
-            from .longform import Segment
+            from .longform import Segment, attach_words
 
             r = self.transcribe_samples(samples, language, sampling=sampling)
-            seg = (
+            seg = attach_words(
                 [Segment(0, 0.0, len(samples) / 16000, r.text)]
                 if r.text.strip() else []
             )

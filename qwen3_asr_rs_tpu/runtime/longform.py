@@ -40,6 +40,58 @@ class Segment:
     start: float
     end: float
     text: str
+    # per-word timings (list[Word]) — filled by attach_words(); None
+    # until then so Segment stays cheap to construct in hot host code
+    words: Optional[list] = None
+
+
+@dataclasses.dataclass
+class Word:
+    """A single word (or CJK character) with its time span.
+
+    Times come from length-proportional alignment within the parent
+    segment's span (see word_timings) — the standard fallback
+    granularity (Whisper uses the same when its aligner yields nothing).
+    A cross-attention aligner is deliberately NOT used: the decode loop
+    is one fused on-device while_loop, and extracting per-token
+    attention maps would change (and slow) the production graph. The
+    reference has no word or segment timestamps at all
+    (src/inference.rs:160-200 returns plain text)."""
+
+    word: str
+    start: float
+    end: float
+
+
+def word_timings(text: str, start: float, end: float) -> list["Word"]:
+    """Length-proportional word timings over [start, end].
+
+    Words are the stitcher's join units (_split_units): whitespace-split
+    runs for spaced scripts, single characters for CJK — so Chinese gets
+    per-character times instead of one giant span. Each unit's duration
+    is proportional to its character count; spans partition [start, end]
+    contiguously (no gaps), which is what subtitle tooling expects.
+    """
+    units = _split_units(text)
+    if not units:
+        return []
+    dur = max(end - start, 0.0)
+    total = sum(len(u) for u, _ in units)
+    out, acc = [], 0
+    for u, _ in units:
+        w_start = start + dur * acc / total
+        acc += len(u)
+        out.append(Word(u, round(w_start, 3),
+                        round(start + dur * acc / total, 3)))
+    return out
+
+
+def attach_words(segments: Optional[list]) -> Optional[list]:
+    """Fill each Segment's ``words`` in place (returns the list)."""
+    for s in segments or []:
+        s.words = word_timings(s.text, s.start, s.end)
+    return segments
+
 
 # Scripts written without inter-word spaces (CJK + fullwidth forms).
 # str.split() on such text yields one giant "word" per segment, so no
@@ -293,6 +345,7 @@ def transcribe_long(
     # is untouched and accuracy stays at the overlap width.
     for a, b in zip(segments, segments[1:]):
         a.end = max(a.start, min(a.end, b.start))
+    attach_words(segments)
     return TranscribeResult(
         text="".join(t for _, t in spans),
         language=langs[0] if langs else "unknown",

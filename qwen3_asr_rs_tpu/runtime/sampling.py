@@ -13,11 +13,15 @@ decode still costs one host sync per utterance (or per serving segment),
 exactly like the greedy path.
 
 Design notes (TPU):
-  * ``top_k`` and ``top_p`` are STATIC (Python) values: a disabled
-    filter must compile to nothing — a nucleus filter is a full-vocab
-    sort (V = 151,936) per step, which should only be in the graph when
-    requested. Distinct values compile distinct graphs (deployments pin
-    them once).
+  * ``top_k`` and ``top_p`` are STATIC (Python) values by default: a
+    disabled filter must compile to nothing — a nucleus filter is a
+    full-vocab sort (V = 151,936) per step, which should only be in the
+    graph when requested. Distinct values compile distinct graphs
+    (deployments pin them once). ``top_p`` may ALSO be traced (scalar
+    or per-row vector): serving's nucleus segment variant holds a
+    per-slot top_p vector in device state so requests with different
+    nucleus masses share one graph; the sort is then unconditionally in
+    that variant, which only compiles when a nucleus request is live.
   * ``temperature`` is TRACED (scalar or per-row vector), so serving can
     hold a per-slot temperature vector in device state and mixed
     greedy/sampled requests share one segment graph: rows with
@@ -82,21 +86,31 @@ def apply_top_k(logits, top_k: int):
     return jnp.where(logits < kth, -jnp.inf, logits)
 
 
-def apply_top_p(logits, top_p: float):
+def apply_top_p(logits, top_p):
     """Nucleus filter: keep the smallest prefix of the descending-prob
     distribution whose mass reaches ``top_p``; -inf the rest.
 
     The highest-probability token is always kept (``cum - p < top_p``
     is strict-before semantics), so the filter can never empty a row.
-    ``top_p`` is static; >= 1 is the identity (and compiles to nothing
-    — the sort over the full vocab only exists in nucleus graphs).
+
+    ``top_p`` may be a STATIC float — >= 1 is the identity and compiles
+    to nothing, so the full-vocab sort only exists in nucleus graphs —
+    or a TRACED scalar / per-row (B,) vector, which serving uses to give
+    each slot its own nucleus mass inside ONE compiled segment variant
+    (rows at 1.0 keep every token: the strict-before test is true for
+    the whole row, so greedy/temperature-only rows are untouched).
     """
-    if top_p >= 1.0:
-        return logits
+    if isinstance(top_p, (int, float)):
+        if top_p >= 1.0:
+            return logits
+        pcol = top_p
+    else:
+        p = jnp.asarray(top_p, jnp.float32)
+        pcol = p[..., None] if p.ndim else p
     desc = -jnp.sort(-logits, axis=-1)  # descending
     probs = jax.nn.softmax(desc, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    keep = (cum - probs) < top_p  # keep while mass BEFORE token < p
+    keep = (cum - probs) < pcol  # keep while mass BEFORE token < p
     thresh = jnp.min(
         jnp.where(keep, desc, jnp.inf), axis=-1, keepdims=True
     )
@@ -108,13 +122,14 @@ def sample_token(
     key,
     temperature,
     top_k: int = 0,
-    top_p: float = 1.0,
+    top_p=1.0,
 ):
     """One decode-step sample: (B, V) or (V,) f32-ish logits -> int32 ids.
 
     ``temperature`` may be a traced scalar or a per-row (B,) vector;
     rows with temperature <= 0 take the argmax (exact greedy parity
-    inside the same compiled graph). ``top_k``/``top_p`` are static.
+    inside the same compiled graph). ``top_k`` is static; ``top_p`` may
+    be static OR a traced scalar / per-row vector (see apply_top_p).
     Returns ids with the logits' leading shape.
     """
     logits = logits.astype(jnp.float32)

@@ -1,13 +1,16 @@
 """Minimal HTTP serving endpoint (stdlib-only) over continuous batching.
 
 POST /transcribe with a WAV (or any decodable) body, optional
-``?language=``, ``?max_new=`` and ``?temperature=`` query params -> JSON
-{"language", "text"}. GET /healthz for liveness.
+``?language=``, ``?max_new=``, ``?temperature=`` and ``?top_p=`` query
+params -> JSON {"language", "text"}. GET /healthz for liveness.
 
 POST /v1/audio/transcriptions is an OpenAI-compatible route:
 multipart/form-data with a ``file`` field (plus optional ``language``,
 ``temperature`` (0 = greedy, the default; > 0 samples on device —
-runtime/sampling.py), ``response_format`` = ``json`` (default) |
+runtime/sampling.py), ``top_p`` (an extension field: per-request
+nucleus mass in (0, 1], traced per slot so any mix shares one compiled
+graph; ignored at temperature 0 like the OpenAI chat API),
+``response_format`` = ``json`` (default) |
 ``text`` | ``verbose_json``) -> ``{"text": ...}`` / plain text /
 ``{"task", "language", "duration", "text", "segments": [...]}`` with
 Whisper-shaped time-stamped segments, so existing Whisper-API clients
@@ -108,7 +111,8 @@ def make_handler(worker: BatchingWorker):
             else:
                 self._json(404, {"error": "not found"})
 
-        def _run(self, body, language, max_new=None, temperature=0.0):
+        def _run(self, body, language, max_new=None, temperature=0.0,
+                 top_p=1.0):
             """-> (result, audio_duration_seconds)."""
             with tempfile.NamedTemporaryFile(suffix=".wav") as f:
                 f.write(body)
@@ -116,7 +120,7 @@ def make_handler(worker: BatchingWorker):
                 samples = load_audio(f.name, 16000)
             req = Request(
                 samples, language, max_new_tokens=max_new,
-                temperature=temperature,
+                temperature=temperature, top_p=top_p,
             )
             worker.submit(req)
             try:
@@ -133,12 +137,14 @@ def make_handler(worker: BatchingWorker):
             language = qs.get("language", [None])[0]
             max_new = qs.get("max_new", [None])[0]
             temperature = qs.get("temperature", ["0"])[0]
+            top_p = qs.get("top_p", ["1"])[0]
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             try:
                 result, _ = self._run(
                     body, language, int(max_new) if max_new else None,
                     temperature=float(temperature),
+                    top_p=float(top_p),
                 )
                 self._json(200, {
                     "language": result.language,
@@ -179,9 +185,13 @@ def make_handler(worker: BatchingWorker):
                 temperature = fields.get("temperature", b"0")
                 if isinstance(temperature, bytes):
                     temperature = temperature.decode()
+                top_p = fields.get("top_p", b"1")
+                if isinstance(top_p, bytes):
+                    top_p = top_p.decode()
                 result, duration = self._run(
                     fields["file"], language or None,
                     temperature=float(temperature or 0),
+                    top_p=float(top_p or 1),
                 )
                 if fmt == "text":
                     data = (result.text + "\n").encode()
@@ -194,18 +204,29 @@ def make_handler(worker: BatchingWorker):
                     # Whisper-shaped segments: serving requests fit one
                     # bucket, so a single [0, duration] span unless the
                     # engine attached stitched long-form segments
+                    from .longform import Segment, attach_words
+
                     segs = result.segments
                     if segs is None:
                         segs = []
                         if result.text.strip():
-                            from .longform import Segment
-
-                            segs = [Segment(0, 0.0, duration, result.text)]
+                            segs = attach_words(
+                                [Segment(0, 0.0, duration, result.text)]
+                            )
+                    words = [
+                        {"word": w.word, "start": w.start, "end": w.end}
+                        for s in segs for w in (s.words or [])
+                    ]
                     self._json(200, {
                         "task": "transcribe",
                         "language": result.language,
                         "duration": round(duration, 3),
                         "text": result.text,
+                        # OpenAI emits the flat word list only under
+                        # timestamp_granularities[]=word; emitting it
+                        # unconditionally is a strict superset (clients
+                        # that didn't ask simply ignore the key)
+                        "words": words,
                         "segments": [
                             # the full Whisper verbose_json key set:
                             # strict clients index tokens/avg_logprob/...,
@@ -223,7 +244,11 @@ def make_handler(worker: BatchingWorker):
                              "avg_logprob": 0.0,
                              "compression_ratio": 1.0,
                              "no_speech_prob": 0.0,
-                             "words": getattr(s, "words", None) or []}
+                             "words": [
+                                 {"word": w.word, "start": w.start,
+                                  "end": w.end}
+                                 for w in (getattr(s, "words", None) or [])
+                             ]}
                             for s in segs
                         ],
                     })

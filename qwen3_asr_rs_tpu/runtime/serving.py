@@ -138,13 +138,18 @@ class Request:
     argmax to temperature sampling (runtime/sampling.py) — per SLOT:
     greedy and sampled requests share the same decode segments, each row
     taking its own path inside one compiled graph. 0 (default) is exact
-    greedy. (top-k/top-p are offline-engine options: they are static
-    compile-time filters, not per-row state.)
+    greedy. ``top_p`` < 1 adds a per-slot nucleus filter to a sampled
+    request (ignored at temperature 0, like the OpenAI API): top_p is
+    TRACED per-row state (runtime/sampling.py apply_top_p), so requests
+    with different nucleus masses share one compiled segment variant —
+    the full-vocab sort only exists in that variant, which compiles
+    the first time a nucleus request is live. (top-k stays an
+    offline-engine option: a static compile-time filter.)
     """
 
     def __init__(self, samples: np.ndarray, language: Optional[str] = None,
                  max_new_tokens: Optional[int] = None,
-                 temperature: float = 0.0):
+                 temperature: float = 0.0, top_p: float = 1.0):
         self.samples = np.asarray(samples, np.float32).reshape(-1)
         self.language = language
         self.max_new_tokens = max_new_tokens
@@ -152,7 +157,12 @@ class Request:
             raise ValueError(
                 f"temperature must be >= 0, got {temperature}"
             )
+        if not 0.0 < top_p <= 1.0:
+            raise ValueError(
+                f"top_p must be in (0, 1], got {top_p}"
+            )
         self.temperature = float(temperature)
+        self.top_p = float(top_p)
         self.event = threading.Event()
         self.result: Optional[TranscribeResult] = None
         self.error: Optional[Exception] = None
@@ -385,6 +395,9 @@ class ContinuousBatcher:
         # per step and returns the new chain head. Admission tok0 keys
         # derive from the base key + a host counter.
         self.d_temp = jnp.zeros(n_slots, jnp.float32)
+        # per-slot nucleus mass (1 = no filter; only read by the
+        # nucleus segment variant, see _segment_graph)
+        self.d_topp = jnp.ones(n_slots, jnp.float32)
         self._base_key = jax.random.PRNGKey(
             int(os.environ.get("ASR_SAMPLING_SEED", "0"))
         )
@@ -421,6 +434,7 @@ class ContinuousBatcher:
             self.d_pos = jax.device_put(self.d_pos, slot_s)
             self.d_done = jax.device_put(self.d_done, slot_s)
             self.d_temp = jax.device_put(self.d_temp, slot_s)
+            self.d_topp = jax.device_put(self.d_topp, slot_s)
             logger.info(
                 "serving slot pool sharded over mesh %s (%d slots)",
                 dict(self.mesh.shape), n_slots,
@@ -474,7 +488,7 @@ class ContinuousBatcher:
         cfg = engine.config
 
         def fn(enc_params, dec_params, wave, n_true, token_ids, true_len,
-               slab, slot, temp, key):
+               slab, slot, temp, topp, key):
             hidden = self._inject(
                 enc_params, dec_params, wave, n_true, token_ids
             )
@@ -491,11 +505,12 @@ class ContinuousBatcher:
             # temp == 0 takes the argmax branch inside sample_token, so
             # greedy admissions are tokenwise identical to before.
             # Deliberately UNGATED (unlike _segment_graph's static
-            # sample flag): gating would double the per-bucket prefill
-            # graph compiles, to save one (1, V) Gumbel draw per
-            # ADMISSION (~us) — decode segments run per step, admission
-            # runs once per request.
-            tok0 = sample_token(logits, key, temp)[0]
+            # variant key): gating would multiply the per-bucket prefill
+            # graph compiles, to save one (1, V) Gumbel draw and one
+            # (1, V) sort (traced topp) per ADMISSION (~us next to the
+            # encoder+prefill in the same dispatch) — decode segments
+            # run per step, admission runs once per request.
+            tok0 = sample_token(logits, key, temp, top_p=topp)[0]
             return tok0, slab
 
         self._prefill_jit[num_chunks] = jax.jit(fn, donate_argnums=(6,))
@@ -519,7 +534,7 @@ class ContinuousBatcher:
         cfg = engine.config
 
         def fn(enc_params, dec_params, waves, n_trues, token_ids,
-               true_lens, slab, slot_ids, temps, key):
+               true_lens, slab, slot_ids, temps, topps, key):
             mel = jax.vmap(
                 lambda w, t: log_mel_from_padded(
                     w, t, engine.frontend.mel_filters
@@ -557,8 +572,8 @@ class ContinuousBatcher:
             # one key covers the batch: categorical draws Gumbel noise
             # of logits.shape, so rows are independent; temp==0 rows
             # take the argmax branch (greedy parity with the
-            # per-request graph)
-            tok0 = sample_token(logits, key, temps)
+            # per-request graph); topps is a per-row traced vector
+            tok0 = sample_token(logits, key, temps, top_p=topps)
             return tok0, slab
 
         self._batch_prefill_jit[key] = jax.jit(fn, donate_argnums=(6,))
@@ -702,14 +717,14 @@ class ContinuousBatcher:
             c = self.prefill_chunk_tokens
 
             def fn(dec_params, hidden, start, tmp, true_in_chunk, temp,
-                   key):
+                   topp, key):
                 chunk = jax.lax.dynamic_slice(
                     hidden, (0, start, 0), (1, c, hidden.shape[-1])
                 )
                 logits, tmp = engine.decoder.prefill_chunk(
                     dec_params, chunk, start, tmp, true_in_chunk,
                 )
-                tok0 = sample_token(logits, key, temp)[0]
+                tok0 = sample_token(logits, key, temp, top_p=topp)[0]
                 return tok0, tmp
 
             self._chunk_jit["fn"] = jax.jit(fn, donate_argnums=(3,))
@@ -726,23 +741,30 @@ class ContinuousBatcher:
             self._commit_jit["fn"] = jax.jit(fn, donate_argnums=(1,))
         return self._commit_jit["fn"]
 
-    def _segment_graph(self, sample: bool):
+    def _segment_graph(self, variant: str):
         """K decode steps over all slots with per-slot positions.
 
-        Two variants with one signature: the greedy graph (``sample``
-        False — compiled when every live slot decodes greedily) takes
-        argmax and passes ``temp``/``key`` through untouched, so
-        all-greedy serving pays zero sampling overhead; the sampling
-        graph draws one fresh key per step and lets each ROW pick
-        argmax (temperature 0) or a sample (temperature > 0) inside the
-        same program, so mixed batches share segments.
+        Three variants with one signature, so the expensive machinery
+        only exists in graphs that need it:
+
+        * ``"greedy"`` — compiled when every live slot decodes greedily:
+          argmax, ``temp``/``topp``/``key`` pass through untouched, so
+          all-greedy serving pays zero sampling overhead;
+        * ``"sample"`` — one fresh key per step; each ROW picks argmax
+          (temperature 0) or a temperature sample inside the same
+          program, so mixed batches share segments;
+        * ``"nucleus"`` — the sample graph plus the per-row traced
+          ``topp`` filter (runtime/sampling.py apply_top_p). The
+          full-vocab sort lives only here and rows at top_p == 1 keep
+          every token, so it compiles once and serves any mix of
+          greedy / temperature / nucleus requests.
         """
-        if sample in self._segment:
-            return self._segment[sample]
+        if variant in self._segment:
+            return self._segment[variant]
         engine = self.engine
         k_steps = self.segment_steps
 
-        def fn(dec_params, cache, tok, pos, done, temp, key):
+        def fn(dec_params, cache, tok, pos, done, temp, topp, key):
             out = jnp.full((self.n_slots, k_steps), PAD_TOKEN, jnp.int32)
 
             def body(i, state):
@@ -755,7 +777,10 @@ class ContinuousBatcher:
                 logits, cache = engine.decoder.decode_step(
                     dec_params, tok, pos, cache
                 )
-                if sample:
+                if variant == "nucleus":
+                    key, sub = jax.random.split(key)
+                    ntok = sample_token(logits, sub, temp, top_p=topp)
+                elif variant == "sample":
                     key, sub = jax.random.split(key)
                     ntok = sample_token(logits, sub, temp)
                 else:
@@ -769,8 +794,8 @@ class ContinuousBatcher:
             )
             return tok, pos, done, out, cache, key
 
-        self._segment[sample] = jax.jit(fn, donate_argnums=(1,))
-        return self._segment[sample]
+        self._segment[variant] = jax.jit(fn, donate_argnums=(1,))
+        return self._segment[variant]
 
     # -------------------------------------------------------------- #
     # host scheduling
@@ -837,6 +862,7 @@ class ContinuousBatcher:
             self.cache,
             jnp.int32(slot_idx),
             jnp.float32(req.temperature),
+            jnp.float32(req.top_p),
             self._next_admit_key(),
         )
         slot = self.slots[slot_idx]
@@ -847,7 +873,7 @@ class ContinuousBatcher:
         )
         self._set_slot_state(
             slot_idx, tok0, prompt_len, False,
-            temperature=req.temperature,
+            temperature=req.temperature, top_p=req.top_p,
         )
         logger.debug(
             "admitted request into slot %d (bucket %d chunks, prompt %d)",
@@ -877,6 +903,7 @@ class ContinuousBatcher:
         true_lens = np.asarray([r[2][4] for r in rows], np.int32)
         slot_ids = np.asarray([r[0] for r in rows], np.int32)
         temps = np.asarray([r[1].temperature for r in rows], np.float32)
+        topps = np.asarray([r[1].top_p for r in rows], np.float32)
         fn = self._batched_prefill_graph(bucket, n)
         tok0, self.cache = fn(
             engine.enc_params,
@@ -888,6 +915,7 @@ class ContinuousBatcher:
             self.cache,
             jnp.asarray(slot_ids),
             jnp.asarray(temps),
+            jnp.asarray(topps),
             self._next_admit_key(),
         )
         for j, (slot_idx, req, prep) in enumerate(items):
@@ -899,7 +927,7 @@ class ContinuousBatcher:
             )
             self._set_slot_state(
                 slot_idx, tok0[j], prep[4], False,
-                temperature=req.temperature,
+                temperature=req.temperature, top_p=req.top_p,
             )
         logger.debug(
             "batched admission: %d requests (padded to %d) into slots %s "
@@ -1000,6 +1028,7 @@ class ContinuousBatcher:
         job = self.prefilling[slot_idx]
         req = self.slots[slot_idx].request
         temperature = req.temperature if req is not None else 0.0
+        top_p = req.top_p if req is not None else 1.0
         c = self.prefill_chunk_tokens
         true_in = min(c, job.prompt_len - job.cursor)
         tok0, job.tmp = self._chunk_fn()(
@@ -1009,6 +1038,7 @@ class ContinuousBatcher:
             job.tmp,
             jnp.int32(true_in),
             jnp.float32(temperature),
+            jnp.float32(top_p),
             self._next_admit_key(),
         )
         job.cursor += c
@@ -1018,7 +1048,7 @@ class ContinuousBatcher:
             )
             self._set_slot_state(
                 slot_idx, tok0, job.prompt_len, False,
-                temperature=temperature,
+                temperature=temperature, top_p=top_p,
             )
             del self.prefilling[slot_idx]
             logger.debug(
@@ -1028,19 +1058,22 @@ class ContinuousBatcher:
 
     def _slot_update_fn(self):
         if self._setstate_jit is None:
-            def fn(d_tok, d_pos, d_done, d_temp, i, t, p, flag, temp):
+            def fn(d_tok, d_pos, d_done, d_temp, d_topp, i, t, p, flag,
+                   temp, topp):
                 return (
                     d_tok.at[i].set(t),
                     d_pos.at[i].set(p),
                     d_done.at[i].set(flag),
                     d_temp.at[i].set(temp),
+                    d_topp.at[i].set(topp),
                 )
 
             self._setstate_jit = jax.jit(fn)
         return self._setstate_jit
 
     def _set_slot_state(self, i, tok0, pos0, done,
-                        temperature: float = 0.0) -> None:
+                        temperature: float = 0.0,
+                        top_p: float = 1.0) -> None:
         """Scatter one slot's decode state into the device arrays.
 
         ``tok0`` may be a device scalar (no host sync — the host tok
@@ -1048,11 +1081,12 @@ class ContinuousBatcher:
         already-inflight segment cannot clobber this slot at drain.
         """
         (self.d_tok, self.d_pos, self.d_done,
-         self.d_temp) = self._slot_update_fn()(
+         self.d_temp, self.d_topp) = self._slot_update_fn()(
             self.d_tok, self.d_pos, self.d_done, self.d_temp,
+            self.d_topp,
             jnp.int32(i), jnp.asarray(tok0, jnp.int32),
             jnp.int32(pos0), jnp.asarray(done),
-            jnp.float32(temperature),
+            jnp.float32(temperature), jnp.float32(top_p),
         )
         self.tok[i] = 0
         self.pos[i] = pos0
@@ -1103,14 +1137,20 @@ class ContinuousBatcher:
 
     def _dispatch_segment(self) -> None:
         """Launch one decode segment from the device state (async)."""
-        # the sampling graph only when some live slot asked for it —
-        # the host temperature mirror is exact (set at admission under
-        # the scheduler thread, never device-written)
-        sample = any(
-            s.active and s.request is not None
-            and s.request.temperature > 0 for s in self.slots
-        )
-        fn = self._segment_graph(sample)
+        # the sampling/nucleus graphs only when some live slot asked
+        # for them — the host temperature/top_p mirrors are exact (set
+        # at admission under the scheduler thread, never device-written)
+        live = [
+            s.request for s in self.slots
+            if s.active and s.request is not None
+        ]
+        if any(r.temperature > 0 and r.top_p < 1.0 for r in live):
+            variant = "nucleus"
+        elif any(r.temperature > 0 for r in live):
+            variant = "sample"
+        else:
+            variant = "greedy"
+        fn = self._segment_graph(variant)
         tok, pos, done, out, self.cache, self.d_key = fn(
             self._segment_params(),
             self.cache,
@@ -1118,6 +1158,7 @@ class ContinuousBatcher:
             self.d_pos,
             self.d_done,
             self.d_temp,
+            self.d_topp,
             self.d_key,
         )
         self.d_tok, self.d_pos, self.d_done = tok, pos, done
@@ -1331,9 +1372,32 @@ class ContinuousBatcher:
         self.submit(solo)
         while not solo.event.is_set():
             self.step(block_timeout=0.001)
+        # same dance for the NUCLEUS segment variant (per-request
+        # top_p < 1): one nucleus member in a full burst (high-occupancy
+        # precision) + one solo (low-occupancy precision)
+        burst = [
+            Request(
+                samples=small, max_new_tokens=max_new,
+                temperature=0.7 if i == 0 else 0.0,
+                top_p=0.9 if i == 0 else 1.0,
+            )
+            for i in range(self.n_slots)
+        ]
+        for r in burst:
+            self.submit(r)
+        while not all(r.event.is_set() for r in burst):
+            self.step(block_timeout=0.001)
+        solo = Request(
+            samples=small, max_new_tokens=max_new, temperature=0.7,
+            top_p=0.9,
+        )
+        self.submit(solo)
+        while not solo.event.is_set():
+            self.step(block_timeout=0.001)
         logger.info(
             "serving warmup: %d-slot burst compiled (all precision "
-            "variants, greedy + sampling segment graphs)", self.n_slots,
+            "variants, greedy + sampling + nucleus segment graphs)",
+            self.n_slots,
         )
 
 

@@ -274,3 +274,68 @@ def test_longform_batch_clamp_uses_compiled_bucket(rng, monkeypatch):
     assert max(seen) <= 4
     # and the device batch after padding stays a power of two <= 4
     assert all(s <= 4 for s in seen)
+
+
+def test_word_timings_two_words():
+    """The VERDICT's synthetic two-word case: a segment spanning
+    [0, 8] with text 'hello world' yields two contiguous word spans
+    proportional to character length (5 vs 5 chars -> equal halves)."""
+    from qwen3_asr_rs_tpu.runtime.longform import word_timings
+
+    words = word_timings("hello world", 0.0, 8.0)
+    assert [w.word for w in words] == ["hello", "world"]
+    assert words[0].start == 0.0
+    assert words[-1].end == 8.0
+    # contiguous partition, ordered
+    assert words[0].end == words[1].start
+    assert abs(words[0].end - 4.0) < 0.01  # equal char weight
+
+
+def test_word_timings_cjk_per_character():
+    """CJK text gets per-character spans (str.split would give one
+    giant word), matching the stitcher's join units."""
+    from qwen3_asr_rs_tpu.runtime.longform import word_timings
+
+    words = word_timings("你好世界", 2.0, 6.0)
+    assert [w.word for w in words] == ["你", "好", "世", "界"]
+    assert words[0].start == 2.0 and words[-1].end == 6.0
+    for a, b in zip(words, words[1:]):
+        assert a.end == b.start
+    assert abs(words[0].end - 3.0) < 0.01
+
+
+def test_word_timings_empty_and_degenerate():
+    from qwen3_asr_rs_tpu.runtime.longform import word_timings
+
+    assert word_timings("", 0.0, 5.0) == []
+    assert word_timings("   ", 0.0, 5.0) == []
+    # zero-duration segment: all words collapse to the same instant
+    ws = word_timings("a b", 3.0, 3.0)
+    assert all(w.start == 3.0 and w.end == 3.0 for w in ws)
+
+
+def test_attach_words_on_segments():
+    from qwen3_asr_rs_tpu.runtime.longform import Segment, attach_words
+
+    segs = [Segment(0, 0.0, 4.0, "one two"), Segment(1, 4.0, 6.0, "三")]
+    attach_words(segs)
+    assert [w.word for w in segs[0].words] == ["one", "two"]
+    assert segs[1].words[0].start == 4.0
+    assert segs[1].words[0].end == 6.0
+
+
+@pytest.mark.slow
+def test_transcribe_short_path_attaches_words(rng, tmp_path):
+    from test_audio_io import write_wav_pcm16
+    from test_engine_e2e import make_engine
+
+    eng, *_ = make_engine(max_new=2)
+    wav = tmp_path / "wordy.wav"
+    write_wav_pcm16(wav, rng.standard_normal(16000 * 2) * 0.1, 16000)
+    r = eng.transcribe(str(wav))
+    for seg in r.segments or []:
+        assert seg.words is not None
+        if seg.text.strip():
+            assert seg.words
+            assert seg.words[0].start >= seg.start
+            assert seg.words[-1].end <= seg.end + 1e-6

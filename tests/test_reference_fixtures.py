@@ -203,3 +203,10 @@ def test_cli_batch_timestamps_consistent_with_single(model_dir, capsys,
     assert len(spans) == sum(1 for t in texts if t.strip())
     for start, _end in spans:
         assert start == "0.00"
+    # every non-empty segment span is followed by indented per-word
+    # rows; word count matches whitespace words of the Text line
+    word_rows = re.findall(r"^  \[(\d+\.\d\d) - (\d+\.\d\d)\] (.+)$",
+                           batch_out, re.MULTILINE)
+    n_words = sum(len(t.split()) for t in texts if t.strip())
+    if n_words:
+        assert len(word_rows) >= len(spans)

@@ -312,3 +312,44 @@ def test_serving_temperature_validation():
 
     with pytest.raises(ValueError):
         Request(np.zeros(100, np.float32), temperature=-1.0)
+
+
+def test_traced_top_p_matches_static_per_row(rng):
+    """apply_top_p with a traced per-row vector keeps exactly the rows
+    a static scalar filter keeps (serving's nucleus segment variant)."""
+    logits = jnp.asarray(rng.standard_normal((3, 64)), jnp.float32)
+    ps = [0.8, 0.3, 1.0]
+    traced = jax.jit(apply_top_p)(logits, jnp.asarray(ps, jnp.float32))
+    for i, p in enumerate(ps):
+        want = apply_top_p(logits[i][None], p)
+        np.testing.assert_array_equal(
+            np.isfinite(np.asarray(traced[i])),
+            np.isfinite(np.asarray(want[0])),
+        )
+    # rows at 1.0 keep EVERY token (strict-before test true everywhere)
+    assert np.isfinite(np.asarray(traced[2])).all()
+
+
+def test_traced_scalar_top_p_in_jit(rng):
+    """A traced scalar top_p compiles (one graph serves any mass) and
+    matches the static filter bit for bit."""
+    logits = jnp.asarray(rng.standard_normal((2, 32)), jnp.float32)
+    fn = jax.jit(apply_top_p)
+    for p in (0.2, 0.7):
+        got = fn(logits, jnp.float32(p))
+        want = apply_top_p(logits, p)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sample_token_traced_top_p_vector(rng):
+    """sample_token with per-row traced top_p: a near-zero mass row is
+    exactly argmax; a mass-1 row matches the unfiltered sample for the
+    same key (the filter is the identity there)."""
+    logits = jnp.asarray(rng.standard_normal((2, 128)), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    ids = sample_token(
+        logits, key, 2.0, top_p=jnp.asarray([1e-9, 1.0], jnp.float32)
+    )
+    assert int(ids[0]) == int(np.argmax(np.asarray(logits)[0]))
+    plain = sample_token(logits, key, 2.0)
+    assert int(ids[1]) == int(plain[1])

@@ -640,3 +640,71 @@ def test_batched_admission_int8_kv_slab(rng):
     for clip, r in zip(clips, reqs):
         offline = eng.transcribe_samples(clip)
         assert r.result.raw_output == offline.raw_output
+
+
+def test_nucleus_tiny_top_p_matches_greedy(rng):
+    """Per-request nucleus end to end: temperature > 0 with a tiny
+    top_p keeps only the top-1 token of the scaled distribution, and
+    temperature scaling preserves argmax order — so the output must be
+    token-identical to the greedy offline engine. Exercises the
+    admission tok0 sample AND the nucleus segment variant."""
+    eng, *_ = make_engine(max_new=4)
+    batcher = ContinuousBatcher(eng, n_slots=2, segment_steps=2)
+
+    samples = (rng.standard_normal(20000) * 0.1).astype(np.float32)
+    req = Request(samples, temperature=3.0, top_p=1e-6)
+    batcher.submit(req)
+    _drive(batcher, lambda: req.event.is_set())
+
+    assert "nucleus" in batcher._segment  # the third variant compiled
+    offline = eng.transcribe_samples(samples)
+    assert req.result.raw_output == offline.raw_output
+
+
+def test_nucleus_row_leaves_greedy_neighbors_exact(rng):
+    """A live nucleus request routes the whole pool through the nucleus
+    segment variant; greedy rows (temperature 0, top_p 1) must still be
+    bitwise offline-exact inside that graph."""
+    eng, *_ = make_engine(max_new=3)
+    batcher = ContinuousBatcher(eng, n_slots=2, segment_steps=2)
+
+    greedy_clip = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    nuc_clip = (rng.standard_normal(20000) * 0.1).astype(np.float32)
+    greedy = Request(greedy_clip)
+    nuc = Request(nuc_clip, temperature=0.9, top_p=0.8)
+    batcher.submit(greedy)
+    batcher.submit(nuc)
+    _drive(batcher, lambda: greedy.event.is_set() and nuc.event.is_set())
+
+    offline = eng.transcribe_samples(greedy_clip)
+    assert greedy.result.raw_output == offline.raw_output
+    assert isinstance(nuc.result.raw_output, str)
+
+
+def test_nucleus_only_when_requested(rng):
+    """temperature-only traffic never compiles the nucleus variant
+    (its full-vocab sort stays out of the segment graph)."""
+    eng, *_ = make_engine(max_new=2)
+    batcher = ContinuousBatcher(eng, n_slots=2, segment_steps=2)
+    req = Request(
+        (rng.standard_normal(12000) * 0.1).astype(np.float32),
+        temperature=0.7,
+    )
+    batcher.submit(req)
+    _drive(batcher, lambda: req.event.is_set())
+    assert "sample" in batcher._segment
+    assert "nucleus" not in batcher._segment
+    # top_p < 1 at temperature 0 is ignored (OpenAI semantics): greedy
+    req2 = Request(
+        (rng.standard_normal(12000) * 0.1).astype(np.float32),
+        top_p=0.5,
+    )
+    batcher.submit(req2)
+    _drive(batcher, lambda: req2.event.is_set())
+    assert "nucleus" not in batcher._segment
+
+
+def test_request_top_p_validation():
+    for bad in (0.0, -0.2, 1.5):
+        with pytest.raises(ValueError, match="top_p"):
+            Request(np.zeros(1600, np.float32), top_p=bad)

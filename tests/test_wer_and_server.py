@@ -146,10 +146,34 @@ def test_openai_transcriptions_endpoint(server, tmp_path, rng):
             for key in ("tokens", "temperature", "avg_logprob",
                         "compression_ratio", "no_speech_prob", "seek"):
                 assert key in seg, key
+            # word-level timestamps: flat top-level list (OpenAI
+            # timestamp_granularities[]=word shape) + per-segment lists,
+            # JSON-plain dicts with word/start/end
+            assert isinstance(out["words"], list)
+            assert out["words"] == [w for s in out["segments"]
+                                    for w in s["words"]]
+            for w in out["words"]:
+                assert set(w) == {"word", "start", "end"}
+                assert 0.0 <= w["start"] <= w["end"] <= out["duration"]
 
     with post({"response_format": "text"}) as r:
         assert r.headers["Content-Type"].startswith("text/plain")
         r.read()
+
+    # per-request nucleus sampling (extension field): a tiny top_p
+    # with temperature > 0 keeps only the top-1 token, so the text
+    # equals the greedy transcription of the same audio
+    with post({}) as r:
+        greedy_text = json.loads(r.read())["text"]
+    with post({"temperature": "2.0", "top_p": "0.000001"}) as r:
+        out = json.loads(r.read())
+        assert out["text"] == greedy_text
+    # out-of-range top_p -> client error, not a server fault
+    try:
+        post({"temperature": "0.5", "top_p": "1.5"})
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
 
     # missing file field -> OpenAI-style error object
     boundary = "b0"
