@@ -10,7 +10,9 @@ Measures 30 s / 128-token single-stream greedy transcription for:
     weights give pessimistic draft agreement — real checkpoints decide
     the deployed draft mode; the ceiling row bounds the opportunity.)
 
-Usage: python scripts/bench_spec.py [quick]
+Usage: python scripts/bench_spec.py [quick] [17b]
+       (``17b`` benches the synthetic 1.7B config — where the bf16
+       target is slowest and drafting buys the most)
 """
 
 from __future__ import annotations
@@ -64,15 +66,16 @@ def _run(eng, seconds=30.0):
 
 def main():
     quick = "quick" in sys.argv[1:]
+    big = "17b" in sys.argv[1:]
     import jax
     import jax.numpy as jnp
 
-    from qwen3_asr_rs_tpu.config import AsrConfig
+    from qwen3_asr_rs_tpu.config import AsrConfig, synthetic_17b_config
     from qwen3_asr_rs_tpu.models.audio_encoder import init_encoder_params
     from qwen3_asr_rs_tpu.models.text_decoder import init_decoder_params
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    config = AsrConfig()
+    config = synthetic_17b_config() if big else AsrConfig()
     enc = init_encoder_params(config.audio, dtype=jnp.bfloat16)
     dec = init_decoder_params(config.text, dtype=jnp.bfloat16)
 
