@@ -1330,23 +1330,30 @@ class ContinuousBatcher:
                 self.step(block_timeout=0.001)
             logger.info("serving warmup: bucket %d chunks compiled", c)
         small = np.zeros(int(min(buckets) * cf * 160), np.float32)
-        # batched-admission graphs: runtime groups pad to powers of two,
-        # so compile each size once at the smallest bucket (a cold
-        # batched-prefill compile mid-burst would stall the whole pool)
-        g = 2
-        while g <= min(self.admit_batch_max, self.n_slots):
-            burst = [
-                Request(samples=small, max_new_tokens=max_new)
-                for _ in range(g)
-            ]
-            for r in burst:
-                self.submit(r)
-            while not all(r.event.is_set() for r in burst):
-                self.step(block_timeout=0.001)
-            logger.info(
-                "serving warmup: batched admission size %d compiled", g
-            )
-            g *= 2
+        # batched-admission graphs key on (BUCKET, padded size): compile
+        # every pair, not just the smallest bucket's — a mixed-length
+        # burst admits batches at EVERY bucket, and a cold batched
+        # encoder+prefill compile mid-burst stalls the whole pool
+        # (measured: the smallest-bucket-only warmup left a 16-slot
+        # mixed 4/8/30 s burst at 6.8x aggregate vs 137x warmed —
+        # every request waited behind live compiles).
+        for c in buckets:
+            clip = np.zeros(int(c * cf * 160), np.float32)
+            g = 2
+            while g <= min(self.admit_batch_max, self.n_slots):
+                burst = [
+                    Request(samples=clip, max_new_tokens=max_new)
+                    for _ in range(g)
+                ]
+                for r in burst:
+                    self.submit(r)
+                while not all(r.event.is_set() for r in burst):
+                    self.step(block_timeout=0.001)
+                logger.info(
+                    "serving warmup: batched admission size %d compiled "
+                    "(bucket %d chunks)", g, c,
+                )
+                g *= 2
         # one sampled request in the burst compiles the SAMPLING segment
         # variant too, so the first live temperature>0 request doesn't
         # stall the pool on a cold compile

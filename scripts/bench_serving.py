@@ -68,21 +68,15 @@ def main(n_requests=24, quant=None, max_new=32, n_slots=8,
             np.float32
         )
 
-    # compile warmup: one request per bucket, excluded from stats
+    # compile warmup: the batcher's own warmup covers the full graph
+    # set the timed burst can hit — per-bucket monolithic admission,
+    # batched-admission sizes per BUCKET (the ad-hoc warmup this
+    # replaced only compiled the smallest bucket's batched graphs, so
+    # mixed bursts paid (8,n)/(30,n) compiles inside the timed region),
+    # full-occupancy segments in both precision variants, and the
+    # sampling/nucleus segment graphs.
     print("warmup (compiles)...", file=sys.stderr)
-    for sec in lengths:
-        r = Request(samples=clip(sec))
-        batcher.submit(r)
-        while not r.event.is_set():
-            batcher.step()
-    # full-occupancy burst so BOTH precision variants of the segment
-    # graph compile before the timed region (auto mode switches params
-    # by live-slot count; a cold compile mid-burst would be timed)
-    warm_burst = [Request(samples=clip(4)) for _ in range(n_slots)]
-    for r in warm_burst:
-        batcher.submit(r)
-    while not all(r.event.is_set() for r in warm_burst):
-        batcher.step()
+    batcher.warmup()
 
     reqs = []
     audio_total = 0.0

@@ -351,6 +351,22 @@ def test_warmup_compiles_and_leaves_batcher_idle(rng):
     assert all(s.request is None for s in batcher.slots)
     assert batcher.queue.empty()
 
+    # batched-admission graphs key on (bucket, padded size); warmup must
+    # cover EVERY bucket, not just the smallest (a cold batched compile
+    # mid-burst stalls the whole pool — measured 6.8x vs 180x aggregate)
+    sizes = []
+    g = 2
+    while g <= min(batcher.admit_batch_max, batcher.n_slots):
+        sizes.append(g)
+        g *= 2
+    for c in eng.chunk_buckets:
+        if c > batcher.max_chunks:
+            continue
+        for n in sizes:
+            assert (c, n) in batcher._batch_prefill_jit, (
+                f"warmup missed batched-admission graph ({c}, {n})"
+            )
+
     samples = (rng.standard_normal(20000) * 0.1).astype(np.float32)
     req = Request(samples)
     batcher.submit(req)
