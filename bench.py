@@ -97,7 +97,13 @@ def _bench_once(engine, config, seconds, num_chunks):
         jnp.asarray([True]),
     )
     spec = engine._spec_active(1, False)
-    kw = {"draft_params": engine.draft_params} if spec else {}
+    kw = {}
+    if spec:
+        kw["draft_params"] = (
+            (engine.draft_bundle.enc_params, engine.draft_bundle.dec_params)
+            if engine.draft_bundle is not None
+            else engine.draft_params
+        )
 
     # warmup / compile. NOTE: results are fetched to host each run —
     # through the tunneled-TPU transport only a host fetch truly

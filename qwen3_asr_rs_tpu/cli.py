@@ -54,7 +54,14 @@ Options (extensions beyond the reference binary):
                     the checkpoint (int4 | int4g | int8 | lm8 | bf16)
                     and verify with the full model — output is
                     BIT-IDENTICAL to plain greedy decoding, only faster
-                    when the draft agrees often. Single-file greedy only.
+                    when the draft agrees often. With --temperature,
+                    speculative SAMPLING preserves the target's sampling
+                    distribution exactly. Single-file only.
+  --draft-model DIR Cross-model speculative decoding: draft with a
+                    SMALLER checkpoint (e.g. 0.6B drafting for a 1.7B
+                    model). Combine with --draft to also quantize the
+                    draft (e.g. --draft-model 0.6B --draft int4).
+                    Output stays bit-identical to plain greedy.
   --draft-k N       Draft tokens per verify call (default 4).
 
 The audio file will be automatically converted to mono 16kHz f32 for the
@@ -99,6 +106,7 @@ def main(argv=None) -> int:
     sample_opts = {"temperature": 0.0, "top-k": 0, "top-p": 1.0, "seed": 0}
     timestamps = False
     draft = None
+    draft_model = None
     draft_k = 4
     rest = []
     it = iter(argv[1:])
@@ -111,6 +119,13 @@ def main(argv=None) -> int:
             )
             if draft is None:
                 print("Error: --draft needs a value", file=sys.stderr)
+                return 1
+        elif arg == "--draft-model" or arg.startswith("--draft-model="):
+            draft_model = (
+                arg.split("=", 1)[1] if "=" in arg else next(it, None)
+            )
+            if draft_model is None:
+                print("Error: --draft-model needs a value", file=sys.stderr)
                 return 1
         elif arg == "--draft-k" or arg.startswith("--draft-k="):
             val = arg.split("=", 1)[1] if "=" in arg else next(it, None)
@@ -192,17 +207,21 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 1
-    if draft is not None and (
-        len(audio_files) > 1 or sample_opts["temperature"] != 0
+    if draft_model is not None and not Path(draft_model).exists():
+        print(f"Error: draft model directory not found: {draft_model}",
+              file=sys.stderr)
+        return 1
+    if (draft is not None or draft_model is not None) and (
+        len(audio_files) > 1
     ):
         logging.getLogger("asr").warning(
-            "--draft applies to single-file greedy decoding only; "
-            "batched/sampled requests use the plain decode loop"
+            "--draft/--draft-model apply to single-file decoding only; "
+            "batched requests use the plain decode loop"
         )
 
     engine = AsrEngine(
         model_path, dtype=dtype, max_new_tokens=max_new, quantize=quantize,
-        speculative=draft, spec_k=draft_k,
+        speculative=draft, spec_k=draft_k, draft_model=draft_model,
     )
 
     def finish():

@@ -491,6 +491,7 @@ class TextDecoder:
         token_ids,  # (B, P) int32 — a block of already-chosen tokens
         start,      # traced scalar int32: absolute position of block[:, 0]
         cache: KVCache,
+        return_logits: bool = False,
     ):
         """Greedy-score a token block in ONE call: argmax at EVERY position.
 
@@ -504,7 +505,10 @@ class TextDecoder:
         token). Rejected-draft slots are overwritten by the next
         iteration's block before they are ever attendable.
 
-        Returns (tokens (B, P) int32, cache).
+        Returns (tokens (B, P) int32, cache) — or, with
+        ``return_logits``, ((B, P, V) f32 logits, cache): the
+        speculative-SAMPLING verify needs the full target distribution
+        at every position, not just its argmax.
         """
         b, p_len = token_ids.shape
         hidden = self.embed(params, token_ids)
@@ -524,10 +528,11 @@ class TextDecoder:
              cache.k_scale, cache.v_scale),
         )
         logits = self.logits(params, hidden)  # (B, P, V) f32
-        return (
-            jnp.argmax(logits, axis=-1).astype(jnp.int32),
-            KVCache(k=k, v=v, k_scale=ks, v_scale=vs),
+        out = (
+            logits if return_logits
+            else jnp.argmax(logits, axis=-1).astype(jnp.int32)
         )
+        return out, KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
 
     def _chunk_layer(self, layer, x, cos, sin, kv, start):
         """One layer of chunked prefill: write-at-start + history attention."""

@@ -69,6 +69,23 @@ class TranscribeResult:
     segments: Optional[list] = None
 
 
+@dataclasses.dataclass
+class DraftBundle:
+    """A second, smaller model used as the speculative-decoding draft.
+
+    It shares the target's mel features and prompt token ids but runs
+    its OWN audio encoder, embedding table, and KV slab inside the fused
+    graph (its hidden width differs from the target's).
+    """
+
+    config: AsrConfig
+    encoder: AudioEncoder
+    decoder: TextDecoder           # prefill (layer scan)
+    decoder_unrolled: TextDecoder  # decode steps
+    enc_params: object
+    dec_params: object
+
+
 class AsrEngine:
     """Loads a Qwen3-ASR checkpoint and transcribes audio files."""
 
@@ -87,6 +104,7 @@ class AsrEngine:
         mesh=None,
         speculative: Optional[str] = None,
         spec_k: int = 4,
+        draft_model=None,
     ):
         """``speculative``: enable draft-and-verify speculative decoding
         for single-stream greedy transcription. The value names the
@@ -99,6 +117,21 @@ class AsrEngine:
         agrees. 'bf16' drafts with the target weights themselves
         (acceptance 1.0; a machinery-overhead measurement mode). See
         _transcribe_graph's spec path and models/text_decoder.score_chunk.
+
+        ``draft_model``: CROSS-MODEL speculative decoding — draft with a
+        genuinely smaller checkpoint (e.g. 0.6B drafting for a 1.7B
+        target: the draft streams ~1/3 the weight bytes per token and
+        the verify call amortizes one target read over up to spec_k+1
+        tokens). Accepts a model directory, or a
+        ``(AsrConfig, (enc_params, dec_params))`` tuple for tests. The
+        draft runs its OWN audio encoder and KV slab inside the fused
+        graph (its hidden width differs from the target's); the prompt
+        tokens, mel features, and greedy-verify semantics are shared, so
+        output remains bit-identical to the target's plain greedy
+        decode. When ``draft_model`` is given, ``speculative`` names the
+        DRAFT's quantization (None/'bf16' = keep the draft bf16;
+        'int8'/'int4'/'int4g'/'lm8' quantize the draft's decoder —
+        e.g. a 0.6B-int4 draft under a 1.7B-bf16 target).
         """
         from ..utils.compile_cache import enable_persistent_compile_cache
 
@@ -110,6 +143,21 @@ class AsrEngine:
         self.dtype = dtype
         self.max_new_tokens = max_new_tokens
         self.chunk_buckets = tuple(sorted(chunk_buckets))
+
+        # Cross-model draft: `speculative` re-targets to the DRAFT's
+        # quantization; the engine's own decode params stay plain.
+        self._draft_model = draft_model
+        self._draft_quant = None
+        if draft_model is not None:
+            if mesh is not None:
+                raise ValueError(
+                    "speculative decoding runs the single-stream greedy "
+                    "path; it is not supported under a device mesh"
+                )
+            if int(spec_k) < 1:
+                raise ValueError(f"spec_k must be >= 1, got {spec_k}")
+            self._draft_quant = speculative or "bf16"
+            speculative = None
 
         stay_host = (
             mesh is not None
@@ -276,10 +324,83 @@ class AsrEngine:
             # under shard_map, one self-contained program per shard.
             self.decoder.prefer_xla = True
             self.decoder_unrolled.prefer_xla = True
+        self.draft_bundle = None
+        if draft_model is not None:
+            self.draft_bundle = self._build_draft_bundle(
+                draft_model, self._draft_quant, max_pos, unroll_decode
+            )
         self._graphs = {}
         # filled after each speculative dispatch: iterations, tokens,
         # mean accepted drafts per iteration (bench/diagnostics)
         self.last_spec_stats = None
+
+    def _build_draft_bundle(self, draft_model, draft_quant, max_pos,
+                            unroll_decode):
+        """Load + validate the cross-model draft (see __init__ docs).
+
+        ``draft_model``: model directory, or a
+        ``(AsrConfig, (enc_params, dec_params))`` tuple (tests).
+        """
+        import contextlib
+
+        try:
+            _qdev = jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:  # no CPU backend
+            _qdev = contextlib.nullcontext()
+        if isinstance(draft_model, tuple):
+            dcfg, (denc, ddec) = draft_model
+        else:
+            ddir = Path(draft_model)
+            dcfg = AsrConfig.from_file(ddir / "config.json")
+            logger.info("Loading draft weights from %s", ddir)
+            denc, ddec = load_model_params(
+                ddir, dcfg, self.dtype, device=None
+            )
+        # The draft must tokenize, chunk, and count audio tokens exactly
+        # like the target: the verify compares token IDS, and the prompt
+        # (with its n_audio AUDIO_PAD run) is built once for both.
+        cfg = self.config
+        if dcfg.text.vocab_size != cfg.text.vocab_size:
+            raise ValueError(
+                f"draft vocab_size {dcfg.text.vocab_size} != target "
+                f"{cfg.text.vocab_size}: speculative tokens would not "
+                "be comparable"
+            )
+        for field in ("num_mel_bins", "chunk_frames", "tokens_per_chunk",
+                      "n_window_infer"):
+            dv, tv = getattr(dcfg.audio, field), getattr(cfg.audio, field)
+            if dv != tv:
+                raise ValueError(
+                    f"draft audio {field}={dv} != target {tv}: the "
+                    "models would disagree on the audio-token layout"
+                )
+        if draft_quant not in (None, "bf16"):
+            with _qdev:  # quantize on host: no f32 temps on the chip
+                ddec = self._build_draft_params(ddec, draft_quant)
+        # params were staged (and possibly quantized) on the host CPU;
+        # ship the final bytes explicitly — like __init__ does for the
+        # target's host-staged params, because device_put without a
+        # device leaves cpu-committed arrays on the cpu. Harmless no-op
+        # on CPU-only runs (tests).
+        dev = jax.devices()[0]
+        denc = jax.device_put(denc, dev)
+        ddec = jax.device_put(ddec, dev)
+        decoder = TextDecoder(dcfg.text, max_position=max_pos)
+        if unroll_decode:
+            unrolled = TextDecoder(
+                dcfg.text, max_position=max_pos, unroll_layers=True
+            )
+            unrolled.rotary = decoder.rotary
+        else:
+            unrolled = decoder
+        return DraftBundle(
+            config=dcfg,
+            encoder=AudioEncoder(dcfg.audio),
+            decoder=decoder,
+            decoder_unrolled=unrolled,
+            enc_params=denc,
+            dec_params=ddec,
+        )
 
     def _build_draft_params(self, base_dec, speculative):
         """Draft weights for speculative decoding (see __init__ docs)."""
@@ -478,17 +599,20 @@ class AsrEngine:
         return self._graphs[key]
 
     def _spec_active(self, batch: int, sample: bool) -> bool:
-        """Speculative decode applies to single-stream greedy graphs.
+        """Speculative decode applies to single-stream graphs.
 
         Batched decode amortizes the weight stream across examples (the
         thing spec decoding exists to beat) and per-example acceptance
         counts would desynchronize the shared-slot layout, so batch > 1
-        keeps the plain loop.
+        keeps the plain loops. Greedy uses draft-and-verify with exact
+        prefix matching (bit-identical output); sampling uses
+        speculative SAMPLING (accept d_i with min(1, p/q), residual
+        resample — sampling.speculative_accept), which preserves the
+        target distribution exactly.
         """
         return (
-            self.draft_params is not None
+            (self.draft_params is not None or self.draft_bundle is not None)
             and batch == 1
-            and not sample
             and self.mesh is None
         )
 
@@ -659,10 +783,10 @@ class AsrEngine:
             return -(-(p + cap + 1 + (k_spec + 1 if spec else 0))
                      // _align) * _align
 
-        def grow_cache(cache, new_len):
+        def grow_cache(cache, new_len, cfg_text=cfg.text):
             """Copy a slab cache into a larger zero slab."""
             bigger = KVCache.zeros(
-                cfg.text, b, new_len, dtype=self.dtype,
+                cfg_text, b, new_len, dtype=self.dtype,
                 quantized=self.kv_quant,
             )
             return KVCache(
@@ -707,8 +831,39 @@ class AsrEngine:
             tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         if spec:
+            if self.draft_bundle is not None:
+                # cross-model draft: its own encoder, embed table, and
+                # hidden width — only mel, prompt ids, and the greedy
+                # verify are shared with the target
+                bundle = self.draft_bundle
+                d_enc_params, d_dec_params = draft_params
+                d_audio, _ = jax.vmap(
+                    bundle.encoder, in_axes=(None, 0, 0)
+                )(d_enc_params, mel, n_true_frames)
+                d_tok = bundle.decoder.embed(d_dec_params, token_ids)
+                d_shift = jnp.zeros(
+                    (b, p, d_tok.shape[-1]), d_tok.dtype
+                )
+                d_copy = min(d_audio.shape[1], p - AUDIO_OFFSET)
+                d_shift = jax.lax.dynamic_update_slice(
+                    d_shift, d_audio[:, :d_copy].astype(d_tok.dtype),
+                    (0, AUDIO_OFFSET, 0),
+                )
+                d_hidden = jnp.where(is_audio[..., None], d_shift, d_tok)
+                draft = (bundle.decoder, bundle.decoder_unrolled,
+                         d_dec_params, bundle.config.text, d_hidden)
+            else:
+                draft = (self.decoder, self.decoder_unrolled,
+                         draft_params, cfg.text, hidden)
+            if sample:
+                return self._spec_sample_loop(
+                    dec_params, draft, slots, cache, tok0,
+                    true_len, live, out_buf, seg_caps, slab_len,
+                    grow_cache, max_new,
+                    base_key, temperature, top_k, top_p,
+                )
             return self._spec_decode_loop(
-                dec_params, draft_params, hidden, slots, cache, tok0,
+                dec_params, draft, slots, cache, tok0,
                 true_len, live, out_buf, seg_caps, slab_len, grow_cache,
                 max_new,
             )
@@ -733,8 +888,10 @@ class AsrEngine:
     def _spec_decode_loop(
         self,
         dec_params,
-        draft_params,
-        hidden,     # (1, P, H) injected prompt embeddings
+        draft,      # (prefill_decoder, step_decoder, params, text_cfg,
+        #             hidden): the same-checkpoint quantized draft, or a
+        #             cross-model DraftBundle's pieces with ITS injected
+        #             prompt embeddings (different hidden width)
         slots,      # (P,) position ids
         cache,      # target KV cache, prompt already prefilled
         tok0,       # (1,) first generated token (target prefill argmax)
@@ -773,19 +930,20 @@ class AsrEngine:
         the plain loop; transcribe_batch uses the iteration count to
         report the measured acceptance rate (last_spec_stats).
         """
-        cfg = self.config
         k_spec = self.spec_k
-        dec = self.decoder_unrolled
+        dec = self.decoder_unrolled  # target: score_chunk verify
+        d_prefill, d_step, draft_params, d_text_cfg, d_hidden = draft
         idx = jnp.arange(k_spec + 1)
 
-        # draft prefill: the draft shares the embed table (quantization
-        # never touches it), so the injected `hidden` is reused verbatim
+        # draft prefill into the draft's OWN slab (same-checkpoint
+        # drafts share the target's injected `hidden`; cross-model
+        # drafts arrive with their own)
         dcache = KVCache.zeros(
-            cfg.text, 1, slab_len(seg_caps[0]), dtype=self.dtype,
+            d_text_cfg, 1, slab_len(seg_caps[0]), dtype=self.dtype,
             quantized=self.kv_quant,
         )
-        _, dcache = self.decoder.prefill(
-            draft_params, hidden, slots, dcache, true_len[0]
+        _, dcache = d_prefill.prefill(
+            draft_params, d_hidden, slots, dcache, true_len[0]
         )
 
         def body(state):
@@ -798,7 +956,7 @@ class AsrEngine:
 
             def dbody(carry, i):
                 dtok, dc = carry
-                ntok, dc = dec.decode_step_token(
+                ntok, dc = d_step.decode_step_token(
                     draft_params, dtok, pos + i, dc
                 )
                 return (ntok, dc), ntok
@@ -851,7 +1009,136 @@ class AsrEngine:
             if state[0].max_len < slab_len(cap):
                 state = (
                     grow_cache(state[0], slab_len(cap)),
-                    grow_cache(state[1], slab_len(cap)),
+                    grow_cache(state[1], slab_len(cap), d_text_cfg),
+                ) + state[2:]
+
+            def cond(state, cap=cap):
+                _, _, _, _, done, _, step, _ = state
+                return jnp.logical_and(jnp.any(~done), step < cap)
+
+            state = jax.lax.while_loop(cond, body, state)
+
+        _, _, _, n_gen, _, out_buf, _, iters = state
+        return out_buf, jnp.minimum(n_gen, max_new), iters
+
+    def _spec_sample_loop(
+        self,
+        dec_params,
+        draft,      # same tuple as _spec_decode_loop
+        slots,
+        cache,
+        tok0,       # (1,) first token (target prefill SAMPLE)
+        true_len,
+        live,
+        out_buf,
+        seg_caps,
+        slab_len,
+        grow_cache,
+        max_new: int,
+        base_key,      # (2,) uint32 — the sampling graph's PRNG key
+        temperature,   # traced f32 scalar
+        top_k: int,    # static
+        top_p: float,  # static
+    ):
+        """Speculative SAMPLING (single stream, on device).
+
+        Same draft-and-verify shape as _spec_decode_loop, but stochastic:
+        the draft SAMPLES k+1 tokens from its own filtered distribution
+        q_i, the target scores the block once for full logits
+        (score_chunk(return_logits=True)), and sampling.speculative_accept
+        keeps each draft with probability min(1, p_i(d_i)/q_i(d_i)),
+        resampling the first rejection from norm(max(p-q, 0)) (bonus
+        draw from p_{k+1} when all k are accepted). The emitted sequence
+        is distributed EXACTLY as sequential sampling from the target —
+        the draft changes speed, never the distribution. Draft and
+        target share the filter chain (filtered_probs == what
+        sample_token draws from), so a self-draft accepts everything.
+        """
+        from .sampling import filtered_probs, sample_token, speculative_accept
+
+        k_spec = self.spec_k
+        dec = self.decoder_unrolled  # target verify
+        d_prefill, d_step, draft_params, d_text_cfg, d_hidden = draft
+        idx = jnp.arange(k_spec + 1)
+
+        dcache = KVCache.zeros(
+            d_text_cfg, 1, slab_len(seg_caps[0]), dtype=self.dtype,
+            quantized=self.kv_quant,
+        )
+        _, dcache = d_prefill.prefill(
+            draft_params, d_hidden, slots, dcache, true_len[0]
+        )
+
+        def body(state):
+            cache, dcache, tok, n_gen, done, out_buf, step, iters = state
+            pos = true_len[0] + step
+            # one key per iteration (iters, not step: step advances by a
+            # data-dependent amount); +1 keeps clear of the prefill draw
+            # at fold_in(base_key, 0)
+            key_it = jax.random.fold_in(base_key, iters + 1)
+
+            def dbody(carry, i):
+                dtok, dc = carry
+                logits, dc = d_step.decode_step(
+                    draft_params, dtok, pos + i, dc
+                )
+                qp = filtered_probs(logits[0], temperature, top_k, top_p)
+                ntok = sample_token(
+                    logits, jax.random.fold_in(key_it, 2 + i),
+                    temperature, top_k, top_p,
+                )
+                return (ntok, dc), (ntok[0], qp)
+
+            (_, dcache), (dtoks, qps) = jax.lax.scan(
+                dbody, (tok, dcache), jnp.arange(k_spec + 1)
+            )
+            drafts = dtoks[:k_spec]  # (k,)
+
+            block = jnp.concatenate([tok, drafts])[None, :]  # (1, k+1)
+            logits_t, cache = dec.score_chunk(
+                dec_params, block, pos, cache, return_logits=True
+            )
+            pp = filtered_probs(
+                logits_t[0], temperature, top_k, top_p
+            )  # (k+1, V)
+            acc, next_tok = speculative_accept(
+                jax.random.fold_in(key_it, 0), drafts, qps[:k_spec], pp
+            )
+
+            # emission candidates IN SEQUENCE ORDER: the pending token,
+            # then the ACCEPTED DRAFTS (the target-distributed tokens
+            # here are the drafts themselves; the resample/bonus token
+            # becomes the next pending)
+            v = jnp.concatenate([tok, drafts])  # (k+1,)
+            cand = idx <= acc
+            is_eos = jnp.logical_or(
+                v == ENDOFTEXT_TOKEN_ID, v == IM_END_TOKEN_ID
+            )
+            no_eos_incl = jnp.cumprod(
+                jnp.logical_not(is_eos).astype(jnp.int32)
+            ).astype(bool)
+            n_emit_raw = jnp.sum((cand & no_eos_incl).astype(jnp.int32))
+            eos_hit = n_emit_raw < acc + 1
+            n_emit = jnp.minimum(n_emit_raw, jnp.int32(max_new) - step)
+
+            out_buf = jax.lax.dynamic_update_slice(
+                out_buf, v[None, :], (0, n_gen[0])
+            )
+            n_gen = n_gen + n_emit
+            tok = next_tok[None]
+            done = jnp.logical_or(done, eos_hit)
+            return (cache, dcache, tok, n_gen, done, out_buf,
+                    step + n_emit, iters + 1)
+
+        state = (
+            cache, dcache, tok0, jnp.zeros((1,), jnp.int32),
+            jnp.logical_not(live), out_buf, jnp.int32(0), jnp.int32(0),
+        )
+        for cap in seg_caps:
+            if state[0].max_len < slab_len(cap):
+                state = (
+                    grow_cache(state[0], slab_len(cap)),
+                    grow_cache(state[1], slab_len(cap), d_text_cfg),
                 ) + state[2:]
 
             def cond(state, cap=cap):
@@ -1012,7 +1299,11 @@ class AsrEngine:
         kw = {}
         spec = self._spec_active(b, sample)
         if spec:
-            kw["draft_params"] = self.draft_params
+            kw["draft_params"] = (
+                (self.draft_bundle.enc_params, self.draft_bundle.dec_params)
+                if self.draft_bundle is not None
+                else self.draft_params
+            )
         with stage_timer("device_dispatch"):
             out = graph(
                 self.enc_params,

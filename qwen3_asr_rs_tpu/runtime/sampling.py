@@ -143,6 +143,64 @@ def sample_token(
     return jnp.where(temp > 0, sampled, greedy).astype(jnp.int32)
 
 
+def filtered_probs(logits, temperature, top_k: int = 0, top_p=1.0):
+    """The EXACT distribution ``sample_token`` draws from, as
+    probabilities: softmax(top_p(top_k(logits / T))).
+
+    Speculative sampling needs both the draft's and the target's full
+    distributions (not just a draw) for the accept/residual step; any
+    mismatch with sample_token's filtering would silently bias the
+    output distribution, so both call the same filter chain.
+    """
+    logits = logits.astype(jnp.float32)
+    temp = jnp.asarray(temperature, jnp.float32)
+    tcol = temp[..., None] if temp.ndim else temp
+    scaled = logits / jnp.maximum(tcol, 1e-6)
+    scaled = apply_top_k(scaled, top_k)
+    scaled = apply_top_p(scaled, top_p)
+    return jax.nn.softmax(scaled, axis=-1)
+
+
+def speculative_accept(key, drafts, q_probs, p_probs):
+    """Rejection step of speculative SAMPLING (Leviathan/Chen et al.).
+
+    ``drafts``: (k,) int32 proposals d_1..d_k drawn from the draft
+    distributions ``q_probs`` (k, V); ``p_probs`` (k+1, V) are the
+    target distributions at the same positions plus the bonus position.
+
+    Each d_i is accepted with probability min(1, p_i(d_i) / q_i(d_i));
+    at the first rejection r the replacement token is drawn from the
+    residual norm(max(p_r - q_r, 0)), and when all k are accepted the
+    bonus token is drawn from p_{k+1}. Returns (acc, next_token): the
+    emitted sequence d_1..d_acc, next_token is distributed EXACTLY as
+    sequential sampling from the target (the standard speculative-
+    sampling theorem) — the draft only changes speed, never the
+    distribution. Pinned empirically in tests/test_sampling.py.
+    """
+    k = drafts.shape[0]
+    u = jax.random.uniform(jax.random.fold_in(key, 0), (k,))
+    pi = p_probs[jnp.arange(k), drafts]
+    qi = q_probs[jnp.arange(k), drafts]
+    ok = u * jnp.maximum(qi, 1e-30) < pi  # u < min(1, p/q), sort-free
+    acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32)))
+    p_acc = p_probs[acc]  # (V,) — gather at the traced index
+    q_acc = jnp.where(
+        acc < k,
+        q_probs[jnp.minimum(acc, k - 1)],
+        jnp.zeros_like(p_acc),  # all accepted: bonus draw from p_k
+    )
+    res = jnp.maximum(p_acc - q_acc, 0.0)
+    total = jnp.sum(res)
+    # fp guard: at a true rejection the residual has positive mass by
+    # construction; if rounding kills it, fall back to the target dist
+    probs = jnp.where(total > 1e-12, res / jnp.maximum(total, 1e-30),
+                      p_acc)
+    next_token = jax.random.categorical(
+        jax.random.fold_in(key, 1), jnp.log(jnp.maximum(probs, 1e-30))
+    )
+    return acc, next_token.astype(jnp.int32)
+
+
 def normalize(params: Optional[SamplingParams]) -> SamplingParams:
     """None -> greedy params; otherwise validated as-is."""
     if params is None:

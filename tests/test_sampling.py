@@ -353,3 +353,86 @@ def test_sample_token_traced_top_p_vector(rng):
     assert int(ids[0]) == int(np.argmax(np.asarray(logits)[0]))
     plain = sample_token(logits, key, 2.0)
     assert int(ids[1]) == int(plain[1])
+
+
+def test_speculative_accept_first_token_distribution():
+    """The speculative-sampling theorem, empirically: with drafts drawn
+    from q, the first emitted token (accepted d_1 or the resample) is
+    distributed exactly as the target p_1 — for an ADVERSARIAL q."""
+    from qwen3_asr_rs_tpu.runtime.sampling import speculative_accept
+
+    q = jnp.asarray([[0.7, 0.1, 0.1, 0.1],
+                     [0.25, 0.25, 0.25, 0.25]], jnp.float32)
+    p = jnp.asarray([[0.1, 0.6, 0.2, 0.1],
+                     [0.05, 0.05, 0.8, 0.1],
+                     [0.4, 0.3, 0.2, 0.1]], jnp.float32)
+
+    def run(i):
+        key = jax.random.PRNGKey(i)
+        kd = jax.random.fold_in(key, 7)
+        drafts = jnp.stack([
+            jax.random.categorical(jax.random.fold_in(kd, 0),
+                                   jnp.log(q[0])),
+            jax.random.categorical(jax.random.fold_in(kd, 1),
+                                   jnp.log(q[1])),
+        ]).astype(jnp.int32)
+        acc, nxt = speculative_accept(key, drafts, q, p)
+        return jnp.where(acc >= 1, drafts[0], nxt)
+
+    n = 20000
+    firsts = np.asarray(jax.jit(jax.vmap(run))(jnp.arange(n)))
+    emp = np.bincount(firsts, minlength=4) / n
+    np.testing.assert_allclose(emp, np.asarray(p[0]), atol=0.02)
+
+
+def test_speculative_accept_edge_cases():
+    from qwen3_asr_rs_tpu.runtime.sampling import speculative_accept
+
+    # q == p: every draft accepted, bonus drawn from p[k]
+    p = jnp.asarray([[0.3, 0.3, 0.2, 0.2],
+                     [0.1, 0.2, 0.3, 0.4],
+                     [0.25, 0.25, 0.25, 0.25]], jnp.float32)
+    q = p[:2]
+    for i in range(64):
+        key = jax.random.PRNGKey(i)
+        drafts = jnp.asarray([i % 4, (i // 4) % 4], jnp.int32)
+        acc, _ = jax.jit(speculative_accept)(key, drafts, q, p)
+        assert int(acc) == 2
+
+    # draft is one-hot on a token the target gives ZERO mass: always
+    # reject at position 0, resample distributed as p[0] exactly
+    # (residual = max(p - onehot, 0) == p because p[0] is 0 there)
+    q0 = jnp.asarray([[1.0, 0.0, 0.0, 0.0],
+                      [0.25, 0.25, 0.25, 0.25]], jnp.float32)
+    p0 = jnp.asarray([[0.0, 0.5, 0.3, 0.2],
+                      [0.1, 0.2, 0.3, 0.4],
+                      [0.25, 0.25, 0.25, 0.25]], jnp.float32)
+
+    def run(i):
+        key = jax.random.PRNGKey(i)
+        drafts = jnp.asarray([0, 0], jnp.int32)
+        acc, nxt = speculative_accept(key, drafts, q0, p0)
+        return acc, nxt
+
+    n = 20000
+    accs, nxts = jax.jit(jax.vmap(run))(jnp.arange(n))
+    assert int(np.asarray(accs).max()) == 0
+    emp = np.bincount(np.asarray(nxts), minlength=4) / n
+    np.testing.assert_allclose(emp, np.asarray(p0[0]), atol=0.02)
+
+
+def test_filtered_probs_matches_sample_token_support(rng):
+    """filtered_probs is the distribution sample_token draws from: zero
+    exactly outside the filtered support, and a top_k=1 filter is a
+    one-hot on the argmax."""
+    from qwen3_asr_rs_tpu.runtime.sampling import filtered_probs
+
+    logits = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    probs = filtered_probs(logits, 0.9, top_k=8, top_p=0.7)
+    assert float(jnp.sum(probs)) == pytest.approx(1.0, abs=1e-5)
+    # support subset of the top-8 logits
+    top8 = set(np.argsort(-np.asarray(logits))[:8].tolist())
+    assert set(np.nonzero(np.asarray(probs))[0].tolist()) <= top8
+    one = filtered_probs(logits, 1.3, top_k=1)
+    assert int(np.argmax(np.asarray(one))) == int(np.argmax(np.asarray(logits)))
+    assert float(one.max()) == pytest.approx(1.0, abs=1e-6)
