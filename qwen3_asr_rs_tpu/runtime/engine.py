@@ -564,7 +564,6 @@ class AsrEngine:
                 # single-device program (Pallas megakernel, any quant
                 # mode, int8 KV). Weights are replicated; there are no
                 # collectives, so throughput scales linearly over ICI.
-                from jax.experimental.shard_map import shard_map
                 from jax.sharding import PartitionSpec as P
 
                 fn = functools.partial(
@@ -580,12 +579,12 @@ class AsrEngine:
                 if sample:
                     in_specs = in_specs + (P(), P())
                 self._graphs[key] = jax.jit(
-                    shard_map(
+                    jax.shard_map(
                         fn,
                         mesh=self.mesh,
                         in_specs=in_specs,
                         out_specs=(data, data),
-                        check_rep=False,
+                        check_vma=False,
                     )
                 )
             else:
@@ -1153,7 +1152,8 @@ class AsrEngine:
     # ------------------------------------------------------------------ #
 
     def warmup(self, batch_sizes: Sequence[int] = (1,),
-               buckets: Optional[Sequence[int]] = None) -> None:
+               buckets: Optional[Sequence[int]] = None,
+               sampling=None) -> None:
         """Precompile the fused graph for the given buckets/batch sizes.
 
         Serving deployments call this once at startup so no user request
@@ -1161,6 +1161,14 @@ class AsrEngine:
         restart's warmup is mostly disk reads. Each (bucket, batch)
         pair is one cached executable, compiled for the engine's real
         max_new (a smaller cap would compile a DIFFERENT graph).
+
+        ``sampling``: warm the SAMPLING variant of each graph instead of
+        greedy (a SamplingParams with the deployment's static top_k /
+        top_p — temperature is traced, so any value compiles the same
+        graph). Deployments that serve both call warmup twice. This
+        matters most for speculative engines: the spec-sampling graph is
+        the slowest compile in the repo (minutes cold through a remote-
+        compile tunnel).
 
         The warmup dispatch marks every row born-done (live=False), so
         the PRODUCTION graph compiles and runs — mel, encoder, prefill,
@@ -1176,7 +1184,8 @@ class AsrEngine:
             clip = np.zeros(int(c * cf * 160), np.float32)
             for b in batch_sizes:
                 with stage_timer(f"warmup_c{c}_b{b}"):
-                    self.transcribe_batch([clip] * b, _warmup=True)
+                    self.transcribe_batch([clip] * b, sampling=sampling,
+                                          _warmup=True)
                 logger.info("warmed bucket %d chunks, batch %d", c, b)
 
     def transcribe_samples(

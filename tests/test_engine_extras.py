@@ -206,3 +206,22 @@ def test_warmup_is_born_done_and_reuses_production_graph(rng):
     )
     assert len(eng._graphs) == n_before
     assert out.raw_output != ""  # live rows still decode
+
+
+def test_warmup_sampling_variant(rng):
+    """warmup(sampling=...) compiles the SAMPLING graph a production
+    sampled request reuses (matters most for speculative engines, whose
+    spec-sampling graph is the slowest compile in the repo)."""
+    from qwen3_asr_rs_tpu.runtime.sampling import SamplingParams
+
+    eng, *_ = make_engine(max_new=8)
+    sp = SamplingParams(temperature=0.7, top_k=8, seed=1)
+    eng.warmup(batch_sizes=(1,), buckets=(8,), sampling=sp)
+    assert (8, 1, (8, 1.0)) in eng._graphs
+    n_before = len(eng._graphs)
+    out = eng.transcribe_samples(
+        (rng.standard_normal(16000 * 8) * 0.1).astype(np.float32),
+        sampling=SamplingParams(temperature=0.9, top_k=8, seed=2),
+    )
+    assert len(eng._graphs) == n_before  # same key: temperature traced
+    assert out.raw_output != ""
